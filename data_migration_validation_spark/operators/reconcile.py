@@ -1,0 +1,158 @@
+"""Distributed reconciliation: keyed snapshot diff.
+
+Generalizes the reference's value-comparison loop (docs/script.js:318-340:
+for each shared key compare each shared column, emit
+(pk, column, old_value, new_value)) and its membership deltas
+(src/validate.py:123-139) into two distributed implementations:
+
+* ``snapshot_diff`` — declarative JVM path: full outer join on the key +
+  per-column null-safe comparison, unpivoted to long rows. Whole-stage
+  codegen; the shuffle is one hash partitioning by key on each side.
+* ``cogroup_reconcile`` — the north-star operator:
+  ``old.groupBy(key).cogroup(new.groupBy(key)).applyInPandas(...)``.
+  Byte-exact (binary columns compared as bytes, not as display strings),
+  used after full CDC replay to assert the materialized table is row- and
+  byte-identical to the reference final state — including the extracted
+  ``text`` per url (BASELINE.json north_star).
+
+Both emit the same long schema:
+    (key, column, old_value, new_value, kind)
+kind ∈ {mismatch, only_in_old, only_in_new, dup_key}; values rendered as
+strings (binary → base64) for the report surface; equality is evaluated on
+the raw values BEFORE rendering.
+"""
+
+from __future__ import annotations
+
+import base64
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructField, StructType, StringType
+
+DIFF_SCHEMA_FIELDS = ["key", "column", "old_value", "new_value", "kind"]
+
+
+def _render(col: F.Column, dtype) -> F.Column:
+    if isinstance(dtype, BinaryType):
+        return F.base64(col)
+    return col.cast("string")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    columns: Iterable[str] | None = None,
+) -> DataFrame:
+    """Declarative keyed diff → long rows. Compares ``columns`` (default:
+    intersection of non-key columns, in old's order — the reference
+    compares columns present in OLD, docs/script.js:327)."""
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    if columns is None:
+        columns = [c for c in old.columns if c != key and c in new_types]
+    columns = list(columns)
+
+    o = old.select(F.col(key).alias("key"), *[F.col(c).alias(f"o_{c}") for c in columns], F.lit(True).alias("_in_old"))
+    n = new.select(F.col(key).alias("key"), *[F.col(c).alias(f"n_{c}") for c in columns], F.lit(True).alias("_in_new"))
+    j = o.join(n, "key", "full_outer")
+
+    membership = j.where(F.col("_in_old").isNull() | F.col("_in_new").isNull()).select(
+        F.col("key"),
+        F.lit(None).cast("string").alias("column"),
+        F.lit(None).cast("string").alias("old_value"),
+        F.lit(None).cast("string").alias("new_value"),
+        F.when(F.col("_in_new").isNull(), F.lit("only_in_old")).otherwise(F.lit("only_in_new")).alias("kind"),
+    )
+
+    both = j.where(F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull())
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                _render(F.col(f"o_{c}"), old_types[c]).alias("old_value"),
+                _render(F.col(f"n_{c}"), new_types[c]).alias("new_value"),
+                (~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}").cast(old_types[c]))).alias("_differs"),
+            )
+            for c in columns
+        ]
+    )
+    mismatches = (
+        both.select("key", F.explode(F.filter(pairs, lambda p: p["_differs"])).alias("p"))
+        .select(
+            "key",
+            F.col("p.column").alias("column"),
+            F.col("p.old_value").alias("old_value"),
+            F.col("p.new_value").alias("new_value"),
+            F.lit("mismatch").alias("kind"),
+        )
+    )
+    return membership.unionByName(mismatches)
+
+
+def cogroup_reconcile(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    columns: Iterable[str] | None = None,
+) -> DataFrame:
+    """North-star cogroup diff: byte-exact per-key comparison in Arrow
+    batches. Also surfaces duplicate keys on either side (kind=dup_key),
+    which the join path cannot distinguish from mismatches."""
+    if columns is None:
+        new_cols = set(new.columns)
+        columns = [c for c in old.columns if c != key and c in new_cols]
+    columns = list(columns)
+    out_schema = StructType([StructField(f, StringType(), True) for f in DIFF_SCHEMA_FIELDS])
+
+    def render(v) -> str | None:
+        if v is None or v is pd.NA or (isinstance(v, float) and pd.isna(v)):
+            return None
+        if isinstance(v, (bytes, bytearray)):
+            return base64.b64encode(bytes(v)).decode("ascii")
+        return str(v)
+
+    def diff(kdf: pd.DataFrame, ndf: pd.DataFrame) -> pd.DataFrame:
+        rows: list[tuple] = []
+        k = (kdf[key].iloc[0] if len(kdf) else ndf[key].iloc[0])
+        if len(kdf) > 1 or len(ndf) > 1:
+            rows.append((k, None, str(len(kdf)), str(len(ndf)), "dup_key"))
+            return pd.DataFrame(rows, columns=DIFF_SCHEMA_FIELDS)
+        if len(kdf) == 0:
+            rows.append((k, None, None, None, "only_in_new"))
+        elif len(ndf) == 0:
+            rows.append((k, None, None, None, "only_in_old"))
+        else:
+            o_row, n_row = kdf.iloc[0], ndf.iloc[0]
+            for c in columns:
+                ov, nv = o_row[c], n_row[c]
+                o_null = ov is None or (not isinstance(ov, (bytes, bytearray, list)) and pd.isna(ov))
+                n_null = nv is None or (not isinstance(nv, (bytes, bytearray, list)) and pd.isna(nv))
+                if o_null and n_null:
+                    continue
+                equal = (not o_null and not n_null) and (
+                    bytes(ov) == bytes(nv)
+                    if isinstance(ov, (bytes, bytearray))
+                    else ov == nv
+                )
+                if not equal:
+                    rows.append((k, c, render(ov), render(nv), "mismatch"))
+        return pd.DataFrame(rows, columns=DIFF_SCHEMA_FIELDS)
+
+    sel = [key, *columns]
+    return (
+        old.select(*sel)
+        .groupBy(key)
+        .cogroup(new.select(*sel).groupBy(key))
+        .applyInPandas(diff, out_schema)
+    )
+
+
+def reconciliation_report(diff: DataFrame) -> dict[str, int]:
+    """Tiny driver-side summary: counts per kind (the engine's PASS/FAIL
+    pill — reference src/validate.py:72-110 results list)."""
+    rows = diff.groupBy("kind").count().collect()
+    return {r["kind"]: r["count"] for r in rows}

@@ -1,0 +1,204 @@
+"""CDC apply engine: epoch-by-epoch replay of a binlog into the lake table.
+
+Per epoch (SURVEY.md §3 engine lifecycle):
+
+1. **idempotency guard** — skip epochs already in the current snapshot's
+   epoch set (crash between commit and checkpoint → re-run is a no-op);
+2. **flatten + schema merge** — payload struct flattened to columns;
+   incoming schema merged into the registry (additive columns, widening)
+   — the durable registry IS the lake snapshot schema;
+3. **in-batch LWW dedup** — per-url winner by (warc_ts, seq) desc; either
+   the JVM window path or the salted applyInPandas path (north-star);
+4. **text extraction** — vectorized Arrow UDF html→text on the winners
+   only (never on pre-dedup volume);
+5. **bucket-pruned MERGE** — read ONLY the state buckets the batch
+   touches (manifest-level pruning), union with winners, take the LWW
+   winner per key again (an upsert that cannot let an out-of-order older
+   event overwrite newer state). Tombstones (op='D') are kept as
+   deleted=true rows so a late old update cannot resurrect a deleted key;
+6. **atomic epoch-keyed commit** + per-partition lineage + metrics +
+   checkpoint.
+
+Scale notes: everything between read and commit is one declarative plan —
+Catalyst fuses the flatten/filter/window; the only shuffles are the
+per-key window (hash on url) and the bucket-write repartition, and both
+partition by functions of the same key. The driver never holds data rows;
+it only sees the touched-bucket id list and lineage aggregates.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_migration_validation_spark.functions.text import extract_text
+from data_migration_validation_spark.operators.lww import lww_apply_in_pandas, lww_window
+from data_migration_validation_spark.plans.checkpoint import CheckpointStore
+from data_migration_validation_spark.plans.lake import BUCKET_COL, LakeTable, bucket_expr
+from data_migration_validation_spark.schema import SchemaRegistry, conform
+
+ENVELOPE_COLS = ("op", "url", "warc_ts", "seq", "payload", "batch_epoch")
+
+
+@dataclass
+class ApplyStats:
+    epoch: int
+    skipped: bool
+    events_seen: int = 0
+    winners: int = 0
+    buckets_touched: int = 0
+    seconds: float = 0.0
+
+
+class CDCApplyEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        checkpoint_path: str,
+        key_col: str = "url",
+        num_buckets: int = 32,
+        use_pandas_lww: bool = False,
+        n_salts: int = 16,
+    ):
+        self.spark = spark
+        self.lake = LakeTable(table_path, key_col=key_col, num_buckets=num_buckets)
+        self.ckpt = CheckpointStore(checkpoint_path)
+        self.key_col = key_col
+        self.use_pandas_lww = use_pandas_lww
+        self.n_salts = n_salts
+        self.registry = SchemaRegistry()
+        snap = self.lake.current_snapshot()
+        if snap is not None:
+            self.registry.current = snap.schema
+
+    # -- one epoch --------------------------------------------------------------
+
+    def apply_epoch(
+        self,
+        events: DataFrame,
+        epoch: int,
+        crash_after_commit: bool = False,
+    ) -> ApplyStats:
+        t0 = time.monotonic()
+        if epoch in self.lake.epochs_applied():
+            return ApplyStats(epoch=epoch, skipped=True)
+
+        key = self.key_col
+        # 2. flatten payload; tombstones keep null payload columns
+        flat = events.select(
+            key,
+            "warc_ts",
+            "seq",
+            (F.col("op") == "D").alias("deleted"),
+            F.col("payload.*"),
+        )
+
+        # 3. in-batch LWW winner per key
+        if self.use_pandas_lww:
+            winners = lww_apply_in_pandas(flat, key=key, order=("warc_ts", "seq"), n_salts=self.n_salts)
+        else:
+            winners = lww_window(flat, key=key, order=("warc_ts", "seq"))
+
+        # 4. vectorized text extraction on winners only
+        if "html" in winners.columns:
+            winners = winners.withColumn("text", extract_text(F.col("html")))
+
+        # 5. schema merge (registry == durable snapshot schema)
+        target = self.registry.merge(winners.schema)
+        winners = conform(winners, target)
+
+        # materialize winners once: lineage aggregates + touched buckets +
+        # the merge all reuse it.
+        winners = winners.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+        winners.persist()
+        try:
+            lineage_rows = (
+                winners.groupBy(BUCKET_COL)
+                .agg(
+                    F.min("seq").alias("source_offset_start"),
+                    F.max("seq").alias("source_offset_end"),
+                    F.count("*").alias("applied_events"),
+                )
+                .collect()
+            )
+            touched = {r[BUCKET_COL] for r in lineage_rows}
+            n_winners = sum(r["applied_events"] for r in lineage_rows)
+
+            state = self.lake.read(self.spark, buckets=touched)
+            if state is not None and state.schema != target:
+                state = conform(state, target)
+            merged = winners.drop(BUCKET_COL)
+            if state is not None:
+                merged = merged.unionByName(state)
+            merged = lww_window(merged, key=key, order=("warc_ts", "seq"))
+            merged = merged.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+
+            committed = self.lake.commit(
+                merged,
+                touched_buckets=touched,
+                epoch=epoch,
+                schema=target,
+                summary={"winners": n_winners},
+            )
+            commit_ts = time.time()
+            if committed:
+                self.ckpt.append_lineage(
+                    [
+                        {
+                            "epoch": epoch,
+                            "partition": int(r[BUCKET_COL]),
+                            "source_offset_start": int(r["source_offset_start"]),
+                            "source_offset_end": int(r["source_offset_end"]),
+                            "applied_events": int(r["applied_events"]),
+                            "commit_ts": commit_ts,
+                        }
+                        for r in lineage_rows
+                    ]
+                )
+                dt = time.monotonic() - t0
+                self.ckpt.append_metrics(
+                    [
+                        {"epoch": epoch, "stage": "apply", "metric": "winners", "value": float(n_winners)},
+                        {"epoch": epoch, "stage": "apply", "metric": "buckets_touched", "value": float(len(touched))},
+                        {"epoch": epoch, "stage": "apply", "metric": "seconds", "value": dt},
+                    ]
+                )
+            if crash_after_commit:
+                raise RuntimeError("injected crash between commit and checkpoint")
+            self.ckpt.write_epoch(epoch)
+        finally:
+            winners.unpersist()
+
+        return ApplyStats(
+            epoch=epoch,
+            skipped=not committed,
+            winners=int(n_winners),
+            buckets_touched=len(touched),
+            seconds=time.monotonic() - t0,
+        )
+
+    # -- full replay --------------------------------------------------------------
+
+    def replay(self, slices: dict[int, DataFrame], resume: bool = True) -> list[ApplyStats]:
+        """Apply epoch slices in epoch order; with resume=True, epochs at or
+        below the checkpoint are still offered to apply_epoch, whose lake
+        guard skips them (the lake, not the checkpoint, is truth)."""
+        stats = []
+        for epoch in sorted(slices):
+            stats.append(self.apply_epoch(slices[epoch], epoch))
+        return stats
+
+    # -- reads ---------------------------------------------------------------------
+
+    def read_state(self) -> DataFrame | None:
+        """Current materialized table incl. tombstones."""
+        return self.lake.read(self.spark)
+
+    def read_final(self) -> DataFrame | None:
+        """Live rows only (tombstones filtered)."""
+        st = self.read_state()
+        return None if st is None else st.where(~F.col("deleted")).drop("deleted")

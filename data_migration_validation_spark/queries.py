@@ -1,0 +1,166 @@
+"""Driver-contract queries over /root/testdata/sf*/ parquet, each paired
+with an ANSI-SQL oracle (DuckDB) in ``oracles.py`` — the correctness gate.
+
+The flagship (``cdc_final_state``) derives a deterministic CDC change
+stream from the ``documents`` table, replays it through the real apply
+engine (epoch commits, LWW merge, Arrow text extraction) into a temp lake
+table, and returns the final state — which the SQL oracle reproduces in
+closed form (window LWW). This checks the *entire* pipeline, including
+byte-identical text extraction, against an independent engine.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC change stream derived from `documents` (mirrored 1:1 in SQL oracle)
+# ---------------------------------------------------------------------------
+
+EVENTS_PER_EPOCH = 500
+
+
+def doc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic I/U/D stream over document urls: each doc gets
+    (doc_id % 3 + 1) versions; docs with doc_id % 7 == 0 are written to the
+    log in reverse time order (out-of-order); (doc_id+v) % 5 == 0 → delete."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nv = d % 3 + 1
+    exploded = docs.select(
+        "doc_id", "text", "lang", "source", F.explode(F.sequence(F.lit(0), nv - 1)).alias("v")
+    )
+    d = F.col("doc_id")
+    v = F.col("v")
+    nv = d % 3 + 1
+    log_pos = F.when(d % 7 == 0, nv - 1 - v).otherwise(v)
+    op = (
+        F.when((v > 0) & ((d + v) % 5 == 0), F.lit("D"))
+        .when(v == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    seq = d * 3 + log_pos
+    body = F.concat(F.col("text"), F.lit(" v"), v.cast("string"))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>D"),
+            d.cast("string"),
+            F.lit("</title></head><body><p>"),
+            body,
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    payload = F.when(op == "D", F.lit(None).cast("struct<html:binary,lang:string>")).otherwise(
+        F.struct(html.alias("html"), F.col("lang").alias("lang"))
+    )
+    return exploded.select(
+        op.alias("op"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), d.cast("string")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=(v * 3600 + d % 60).cast("double"))
+        ).alias("warc_ts"),
+        seq.alias("seq"),
+        payload.alias("payload"),
+        (seq / EVENTS_PER_EPOCH).cast("long").alias("batch_epoch"),
+    )
+
+
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay doc_changes through the apply engine into a temp lake table;
+    return the final live rows (url, warc_ts, seq, lang, text)."""
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+
+    changes = doc_changes(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dmv-cdc-")
+    try:
+        changes.write.mode("overwrite").parquet(f"{tmp}/log")
+        log = spark.read.parquet(f"{tmp}/log")
+        n_epochs = log.agg(F.max("batch_epoch")).collect()[0][0] + 1
+        engine = CDCApplyEngine(
+            spark,
+            table_path=f"{tmp}/table",
+            checkpoint_path=f"{tmp}/ckpt",
+            num_buckets=16,
+        )
+        for epoch in range(int(n_epochs)):
+            engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
+        final = engine.read_final().select("url", "warc_ts", "seq", "lang", "text")
+        # materialize before the temp lake dir is deleted
+        out = spark.createDataFrame(final.toPandas(), schema=final.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def cdc_final_state_oracle() -> str:
+    return f"""
+WITH exploded AS (
+  SELECT doc_id, text, lang, source, v
+  FROM documents, (SELECT unnest(generate_series(0, 2)) AS v) versions
+  WHERE v <= doc_id % 3
+),
+changes AS (
+  SELECT
+    CASE WHEN v > 0 AND (doc_id + v) % 5 = 0 THEN 'D'
+         WHEN v = 0 THEN 'I' ELSE 'U' END AS op,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    TIMESTAMP '2024-01-01 00:00:00' + (v*3600 + doc_id % 60) * INTERVAL 1 SECOND AS warc_ts,
+    doc_id * 3 + (CASE WHEN doc_id % 7 = 0 THEN (doc_id % 3) - v ELSE v END) AS seq,
+    lang AS p_lang,
+    text || ' v' || v AS p_text
+  FROM exploded
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM changes
+)
+SELECT url, warc_ts, seq,
+       CASE WHEN op = 'D' THEN NULL ELSE p_lang END AS lang,
+       CASE WHEN op = 'D' THEN NULL ELSE p_text END AS text
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# LWW snapshot over the driver `events` table (pure window dedup)
+# ---------------------------------------------------------------------------
+
+def lww_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user: the engine's core LWW primitive expressed on
+    the driver's events table (order ts desc, event_id desc)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def lww_events_oracle() -> str:
+    return """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
+    "lww_events": (lww_events, lww_events_oracle()),
+}

@@ -1,0 +1,113 @@
+"""Schema registry: additive-column + type-widening merge.
+
+Generalizes the reference's schema-comparison check
+(/root/reference/src/validate.py:167-177 — union of columns of OLD and NEW
+with presence flags and dtype strings) into the evolution step a CDC engine
+needs: given the table's current schema and an incoming batch's schema,
+produce the unified schema (new columns appended, numeric types widened)
+or fail loudly on an incompatible change (dropped column, narrowing,
+incompatible types). The lake layer (plans/lake.py) then serves old files
+upcast to the unified schema without rewriting them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DataType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
+
+# widening lattice: a type may widen to anything to its right
+_NUMERIC_ORDER: list[type] = [ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType]
+
+
+class SchemaEvolutionError(ValueError):
+    """Incompatible schema change (narrowing / type conflict)."""
+
+
+def _rank(dt: DataType) -> int | None:
+    for i, t in enumerate(_NUMERIC_ORDER):
+        if isinstance(dt, t):
+            return i
+    return None
+
+
+def widen(a: DataType, b: DataType) -> DataType:
+    """Least common widened type of a and b, or raise."""
+    if a == b:
+        return a
+    ra, rb = _rank(a), _rank(b)
+    if ra is not None and rb is not None:
+        return _NUMERIC_ORDER[max(ra, rb)]()
+    if isinstance(a, DecimalType) and isinstance(b, DecimalType):
+        scale = max(a.scale, b.scale)
+        prec = max(a.precision - a.scale, b.precision - b.scale) + scale
+        return DecimalType(min(prec, 38), scale)
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        return merge_schemas(a, b)
+    raise SchemaEvolutionError(f"cannot unify {a.simpleString()} with {b.simpleString()}")
+
+
+def merge_schemas(current: StructType, incoming: StructType) -> StructType:
+    """Unified schema: current's columns (widened where the incoming batch
+    widened them) followed by incoming's new columns, in arrival order.
+    A column missing from ``incoming`` is NOT a drop — CDC batches may
+    carry partial payloads; drops are never inferred."""
+    inc = {f.name: f for f in incoming.fields}
+    fields: list[StructField] = []
+    for f in current.fields:
+        if f.name in inc:
+            fields.append(StructField(f.name, widen(f.dataType, inc[f.name].dataType), True))
+        else:
+            fields.append(StructField(f.name, f.dataType, True))
+    cur_names = {f.name for f in current.fields}
+    for f in incoming.fields:
+        if f.name not in cur_names:
+            fields.append(StructField(f.name, f.dataType, True))
+    return StructType(fields)
+
+
+def conform(df: DataFrame, target: StructType) -> DataFrame:
+    """Project df onto ``target``: cast present columns up, fill missing
+    columns with typed nulls. Pure projection — Catalyst folds it into the
+    surrounding plan."""
+    present = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in present:
+            c = F.col(f.name)
+            if present[f.name] != f.dataType:
+                c = c.cast(f.dataType)
+        else:
+            c = F.lit(None).cast(f.dataType)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
+@dataclass
+class SchemaRegistry:
+    """In-memory registry view; the durable copy is the lake snapshot's
+    schema (the registry is rebuilt from the table on resume)."""
+
+    current: StructType | None = None
+
+    def merge(self, incoming: StructType) -> StructType:
+        if self.current is None:
+            # merge-with-self normalizes nullability so snapshot schema
+            # strings stay stable across epochs
+            self.current = merge_schemas(incoming, incoming)
+        else:
+            self.current = merge_schemas(self.current, incoming)
+        return self.current
