@@ -160,7 +160,188 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Validation operator queries (SURVEY.md §2 O4–O11) over the derived
+# customer OLD/NEW snapshot pair (snapshots.py — same derivation in SQL)
+# ---------------------------------------------------------------------------
+
+from data_migration_validation_spark.snapshots import (  # noqa: E402
+    ALLOWED_ADDITIONS_SQL,
+    ALLOWED_DELETIONS_SQL,
+    SNAPSHOT_CTES,
+    allowed_additions,
+    allowed_deletions,
+    new_customers,
+    old_customers,
+)
+
+
+def _val_cfg(spark: SparkSession, sf_dir: str):
+    from data_migration_validation_spark.operators.validation import ValidationConfig
+
+    return ValidationConfig(
+        primary_key="c_custkey",
+        required_fields=["c_mktsegment", "c_name"],
+        compare_columns=["c_name", "c_acctbal", "c_mktsegment"],
+        allowed_deletions=allowed_deletions(spark, sf_dir),
+        allowed_additions=allowed_additions(spark, sf_dir),
+    )
+
+
+def val_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.validation import row_counts
+
+    return row_counts(
+        old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+    )
+
+
+def val_only_in_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.validation import only_in_old
+
+    return only_in_old(
+        old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+    )
+
+
+def val_only_in_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.validation import only_in_new
+
+    return only_in_new(
+        old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+    )
+
+
+def val_cell_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.validation import cell_mismatches
+
+    return cell_mismatches(
+        old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+    )
+
+
+def val_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.validation import duplicate_rows
+
+    return duplicate_rows(new_customers(spark, sf_dir), "c_custkey")
+
+
+def val_rekeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.validation import possible_rekeys
+
+    return possible_rekeys(
+        old_customers(spark, sf_dir),
+        new_customers(spark, sf_dir),
+        _val_cfg(spark, sf_dir),
+        attr="c_name",
+    )
+
+
+def val_null_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.validation import null_summary
+
+    return null_summary(
+        old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+    )
+
+
+def val_format_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.validation import format_violations
+
+    old = old_customers(spark, sf_dir).withColumn(
+        "email",
+        F.concat(
+            F.lit("user"),
+            F.col("c_custkey").cast("string"),
+            F.when(F.col("c_custkey") % 29 == 6, F.lit("_at_example.com")).otherwise(
+                F.lit("@example.com")
+            ),
+        ),
+    )
+    return format_violations(old, "c_custkey", {"email": "email_format"})
+
+
+_VAL_ORACLES = {
+    "val_row_counts": f"""{SNAPSHOT_CTES}
+SELECT * FROM (
+  SELECT 'OLD' AS dataset, count(*) AS raw_count,
+         CAST(coalesce(sum(CASE WHEN {ALLOWED_DELETIONS_SQL} THEN 1 ELSE 0 END), 0) AS BIGINT) AS allowlisted_ids,
+         count(*) - CAST(coalesce(sum(CASE WHEN {ALLOWED_DELETIONS_SQL} THEN 1 ELSE 0 END), 0) AS BIGINT) AS adjusted_count
+  FROM old_snap
+  UNION ALL
+  SELECT 'NEW', count(*),
+         CAST(coalesce(sum(CASE WHEN {ALLOWED_ADDITIONS_SQL} THEN 1 ELSE 0 END), 0) AS BIGINT),
+         count(*) - CAST(coalesce(sum(CASE WHEN {ALLOWED_ADDITIONS_SQL} THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM new_snap
+)
+""",
+    "val_only_in_old": f"""{SNAPSHOT_CTES}
+SELECT * FROM old_snap
+WHERE c_custkey NOT IN (SELECT c_custkey FROM new_snap)
+  AND NOT {ALLOWED_DELETIONS_SQL}
+""",
+    "val_only_in_new": f"""{SNAPSHOT_CTES}
+SELECT * FROM new_snap
+WHERE c_custkey NOT IN (SELECT c_custkey FROM old_snap)
+  AND NOT {ALLOWED_ADDITIONS_SQL}
+""",
+    "val_cell_mismatches": f"""{SNAPSHOT_CTES},
+joined AS (
+  SELECT o.c_custkey,
+         o.c_name AS o_name, n.c_name AS n_name,
+         o.c_acctbal AS o_bal, n.c_acctbal AS n_bal,
+         o.c_mktsegment AS o_seg, n.c_mktsegment AS n_seg
+  FROM old_snap o JOIN new_snap n USING (c_custkey)
+)
+SELECT c_custkey, 'c_name' AS column, CAST(o_name AS VARCHAR) AS old_value, CAST(n_name AS VARCHAR) AS new_value
+FROM joined WHERE o_name IS DISTINCT FROM n_name
+UNION ALL
+SELECT c_custkey, 'c_acctbal', CAST(o_bal AS VARCHAR), CAST(n_bal AS VARCHAR)
+FROM joined WHERE o_bal IS DISTINCT FROM n_bal
+UNION ALL
+SELECT c_custkey, 'c_mktsegment', CAST(o_seg AS VARCHAR), CAST(n_seg AS VARCHAR)
+FROM joined WHERE o_seg IS DISTINCT FROM n_seg
+""",
+    "val_duplicates": f"""{SNAPSHOT_CTES}
+SELECT * FROM new_snap
+QUALIFY count(*) OVER (PARTITION BY c_custkey) > 1
+""",
+    "val_rekeys": f"""{SNAPSHOT_CTES}
+SELECT o.c_name, o.c_custkey AS old_pk, n.c_custkey AS new_pk
+FROM old_snap o JOIN new_snap n ON o.c_name = n.c_name
+WHERE o.c_custkey <> n.c_custkey AND o.c_name IS NOT NULL
+""",
+    "val_null_summary": f"""{SNAPSHOT_CTES}
+SELECT 'c_mktsegment' AS field,
+       CAST((SELECT count(*) FROM old_snap WHERE c_mktsegment IS NULL) AS VARCHAR) AS old_nulls,
+       CAST((SELECT count(*) FROM new_snap WHERE c_mktsegment IS NULL) AS VARCHAR) AS new_nulls
+UNION ALL
+SELECT 'c_name',
+       CAST((SELECT count(*) FROM old_snap WHERE c_name IS NULL) AS VARCHAR),
+       CAST((SELECT count(*) FROM new_snap WHERE c_name IS NULL) AS VARCHAR)
+""",
+    "val_format_violations": f"""{SNAPSHOT_CTES},
+with_email AS (
+  SELECT c_custkey,
+         'user' || c_custkey || (CASE WHEN c_custkey % 29 = 6 THEN '_at_example.com' ELSE '@example.com' END) AS email
+  FROM old_snap
+)
+SELECT c_custkey, 'email' AS column, email AS value, 'email_format' AS rule
+FROM with_email
+WHERE NOT regexp_matches(email, '\\S+@\\S+\\.\\S+')
+""",
+}
+
+
 REGISTRY: dict[str, tuple] = {
     "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
     "lww_events": (lww_events, lww_events_oracle()),
+    "val_row_counts": (val_row_counts, _VAL_ORACLES["val_row_counts"]),
+    "val_only_in_old": (val_only_in_old, _VAL_ORACLES["val_only_in_old"]),
+    "val_only_in_new": (val_only_in_new, _VAL_ORACLES["val_only_in_new"]),
+    "val_cell_mismatches": (val_cell_mismatches, _VAL_ORACLES["val_cell_mismatches"]),
+    "val_duplicates": (val_duplicates, _VAL_ORACLES["val_duplicates"]),
+    "val_rekeys": (val_rekeys, _VAL_ORACLES["val_rekeys"]),
+    "val_null_summary": (val_null_summary, _VAL_ORACLES["val_null_summary"]),
+    "val_format_violations": (val_format_violations, _VAL_ORACLES["val_format_violations"]),
 }
