@@ -27,7 +27,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # CDC change stream derived from `documents` (mirrored 1:1 in SQL oracle)
 # ---------------------------------------------------------------------------
 
-EVENTS_PER_EPOCH = 500
+N_EPOCHS = 4  # epoch boundaries don't affect semantics (oracle is one LWW
+# window over the whole log); fixed epoch COUNT keeps per-epoch driver
+# overhead scale-invariant.
 
 
 def doc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,6 +39,8 @@ def doc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     nv = d % 3 + 1
+    n_docs = docs.count()
+    events_per_epoch = max(1, (3 * n_docs) // N_EPOCHS + 1)
     exploded = docs.select(
         "doc_id", "text", "lang", "source", F.explode(F.sequence(F.lit(0), nv - 1)).alias("v")
     )
@@ -73,7 +77,7 @@ def doc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("warc_ts"),
         seq.alias("seq"),
         payload.alias("payload"),
-        (seq / EVENTS_PER_EPOCH).cast("long").alias("batch_epoch"),
+        (seq / events_per_epoch).cast("long").alias("batch_epoch"),
     )
 
 
