@@ -127,10 +127,15 @@ def lang_id(text: Column) -> Column:
     """Marker-word language guess: the language with the most stopword hits
     wins; ties and zero-hit rows → 'und' (undetermined)."""
     toks = tokens(F.lower(text))
+
+    def _contains(marr):
+        # closure factory — a default-arg lambda would read as two-arg
+        return lambda t: F.array_contains(marr, t)
+
     scores = []
     for lang, markers in LANG_MARKERS.items():
         marr = F.array(*[F.lit(m) for m in markers])
-        hits = F.size(F.filter(toks, lambda t, m=marr: F.array_contains(m, t)))
+        hits = F.size(F.filter(toks, _contains(marr)))
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     # array_max over struct compares field-by-field: (hits, lang) — lang is
     # the deterministic tiebreak (lexicographically greatest wins ties).

@@ -337,7 +337,10 @@ WHERE NOT regexp_matches(email, '\\S+@\\S+\\.\\S+')
 }
 
 
+from data_migration_validation_spark.queries_corpus import CORPUS_REGISTRY  # noqa: E402
+
 REGISTRY: dict[str, tuple] = {
+    **CORPUS_REGISTRY,
     "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
     "lww_events": (lww_events, lww_events_oracle()),
     "val_row_counts": (val_row_counts, _VAL_ORACLES["val_row_counts"]),

@@ -1,0 +1,369 @@
+"""Training-data pipeline queries over documents/embeddings, with DuckDB
+oracles GENERATED from the same constants as the Spark expressions
+(functions/hashing.py) — the two engines stay in lockstep by construction.
+
+Corpus for dedup queries = documents ∪ seeded near-copies (text + ' extra
+token') ∪ seeded exact copies, all pure functions of doc_id so both
+engines derive the identical corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_migration_validation_spark.functions import hashing as H
+from data_migration_validation_spark.functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_token_count,
+)
+from data_migration_validation_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from data_migration_validation_spark.operators.similarity import (
+    brute_topk,
+    hyperplane_sql,
+    lsh_topk,
+)
+
+NUM_PERM = 8
+BANDS = 4
+SHINGLE_K = 3
+JACCARD_T = 0.6
+HAMMING_T = 4
+COS_T = 0.9
+ANN_K = 10
+LSH_TABLES = 4
+LSH_BITS = 8
+DIM = 64
+
+
+# -- corpus (Spark + SQL twins) ---------------------------------------------------
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    near = (
+        docs.where(F.col("doc_id") % 13 == 0)
+        .select(
+            (F.col("doc_id") + 500_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+            "lang",
+        )
+    )
+    exact = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 600_000).alias("doc_id"), "text", "lang"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+CORPUS_CTE = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, text || ' extra token', lang FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 600000, text, lang FROM documents WHERE doc_id % 17 = 0
+)
+"""
+
+# shared CTE chain: corpus → tokens → shingles → shingle hashes
+_HASH_CTES = f"""{CORPUS_CTE},
+tok AS (SELECT doc_id, lang, {H.tokens_sql('text')} AS toks FROM corpus),
+sh AS (SELECT doc_id, lang, {H.shingles_from_tokens_sql('toks', SHINGLE_K)} AS shingles FROM tok),
+hs AS (SELECT doc_id, lang, {H.hashes_from_shingles_sql('shingles')} AS hashes FROM sh)
+"""
+
+
+# -- dedup queries -------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(corpus(spark, sf_dir), "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = f"""{CORPUS_CTE}
+SELECT min_id AS canonical_id, doc_id AS dup_id FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS min_id FROM corpus
+) WHERE doc_id <> min_id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        corpus(spark, sf_dir), "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_k=SHINGLE_K
+    )
+
+
+_R = NUM_PERM // BANDS
+DEDUP_MINHASH_SQL = f"""{_HASH_CTES},
+sig AS (SELECT doc_id, {H.minhash_signature_sql('hashes', NUM_PERM)} AS sig FROM hs),
+bandrows AS (
+  SELECT doc_id, band_id,
+         array_to_string(list_slice(sig, band_id*{_R}+1, band_id*{_R}+{_R}), '-') AS band_key
+  FROM sig, (SELECT unnest(range({BANDS})) AS band_id)
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bandrows l JOIN bandrows r USING (band_id, band_key)
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(
+        corpus(spark, sf_dir), "doc_id", "text", max_hamming=HAMMING_T, shingle_k=SHINGLE_K
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""{_HASH_CTES},
+sv AS (SELECT doc_id, {H.simhash32_sql('hashes')} AS simhash FROM hs),
+blocked AS (
+  SELECT doc_id, simhash, byte_id, (simhash >> (8*byte_id)) & 255 AS byte_val
+  FROM sv, (SELECT unnest(range(4)) AS byte_id)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb
+  FROM blocked l JOIN blocked r USING (byte_id, byte_val)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {HAMMING_T}
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=JACCARD_T,
+        shingle_k=SHINGLE_K,
+        block_col="lang",
+    )
+
+
+DEDUP_JACCARD_SQL = f"""{_HASH_CTES}
+SELECT l.doc_id AS a, r.doc_id AS b,
+       round(CAST(len(list_intersect(l.hashes, r.hashes)) AS DOUBLE)
+             / len(list_distinct(l.hashes || r.hashes)), 6) AS jaccard
+FROM hs l JOIN hs r ON l.lang = r.lang AND l.doc_id < r.doc_id
+WHERE round(CAST(len(list_intersect(l.hashes, r.hashes)) AS DOUBLE)
+            / len(list_distinct(l.hashes || r.hashes)), 6) >= {JACCARD_T}
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=COS_T, block_col="label")
+
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE) "
+    "for i in range(1, len(l.embedding)+1)]), (s, x) -> s + x)"
+)
+
+
+def _norm_sql(alias: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[CAST({alias}.embedding[i] AS DOUBLE) * CAST({alias}.embedding[i] AS DOUBLE) "
+        f"for i in range(1, len({alias}.embedding)+1)]), (s, x) -> s + x))"
+    )
+
+
+DEDUP_EMB_COS_SQL = f"""
+SELECT a, b, cos FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         round({_DOT} / ({_norm_sql('l')} * {_norm_sql('r')}), 6) AS cos
+  FROM embeddings l JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+) WHERE cos >= {COS_T}
+"""
+
+
+# -- text analysis -----------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        word_token_count(t).alias("n_word_tokens"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+_SW = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+_TOKS = H.tokens_sql("text")
+_TOKS_LOWER = H.tokens_sql("lower(text)")
+_N_TOKENS = f"len({_TOKS})"
+_WORDS = "len([t for t in string_split_regex(text, '[^A-Za-z0-9]+') if t <> ''])"
+_PUNCTS = "len([t for t in string_split_regex(text, '[A-Za-z0-9\\s]+') if t <> ''])"
+_SW_RATIO = (
+    f"CASE WHEN {_N_TOKENS} > 0 THEN "
+    f"CAST(len([t for t in {_TOKS_LOWER} if list_contains({_SW}, t)]) AS DOUBLE) / len({_TOKS_LOWER}) "
+    f"ELSE 0.0 END"
+)
+_PUNCT_RATIO = (
+    "CASE WHEN len(text) > 0 THEN "
+    "CAST(len(regexp_replace(text, '[^\\.\\,\\;\\:\\!\\?]', '', 'g')) AS DOUBLE) / len(text) "
+    "ELSE 0.0 END"
+)
+_QUALITY = (
+    f"round(greatest(0.0, least(CAST({_N_TOKENS} AS DOUBLE) / 100.0, 1.0) * 0.5 "
+    f"+ ({_SW_RATIO}) * 0.3 + (1.0 - least(({_PUNCT_RATIO}) * 5.0, 1.0)) * 0.2), 6)"
+)
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       {_N_TOKENS} AS n_tokens,
+       {_WORDS} + {_PUNCTS} AS n_word_tokens,
+       round({_SW_RATIO}, 6) AS stopword_ratio,
+       round({_PUNCT_RATIO}, 6) AS punct_ratio,
+       {_QUALITY} AS quality
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+_LANG_STRUCTS = ", ".join(
+    "{'hits': len([t for t in "
+    + _TOKS_LOWER
+    + " if list_contains(["
+    + ", ".join(f"'{m}'" for m in markers)
+    + "], t)]), 'lang': '"
+    + lang
+    + "'}"
+    for lang, markers in LANG_MARKERS.items()
+)
+TEXT_LANG_ID_SQL = f"""
+SELECT doc_id,
+       CASE WHEN struct_extract(list_max([{_LANG_STRUCTS}]), 'hits') > 0
+            THEN struct_extract(list_max([{_LANG_STRUCTS}]), 'lang')
+            ELSE 'und' END AS lang_guess
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", H.str_fold(F.col("text")).alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id, {H.str_fold_sql('text')} AS fingerprint FROM documents
+"""
+
+
+# -- similarity search ---------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return F.array(*[F.lit(float(x)) for x in row["embedding"]])
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_topk(emb, _query_vec(spark, sf_dir), k=ANN_K)
+
+
+_QDOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) "
+    "for i in range(1, len(e.embedding)+1)]), (s, x) -> s + x)"
+)
+_QNORM_E = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) "
+    "for i in range(1, len(e.embedding)+1)]), (s, x) -> s + x))"
+)
+_QNORM_Q = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) "
+    "for i in range(1, len(q.qv)+1)]), (s, x) -> s + x))"
+)
+
+ANN_BRUTE_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, round({_QDOT} / ({_QNORM_E} * {_QNORM_Q}), 6) AS cos
+  FROM embeddings e, q
+)
+SELECT vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=ANN_K,
+        n_tables=LSH_TABLES,
+        n_bits=LSH_BITS,
+        dim=DIM,
+    )
+
+
+def _bucket_sql(vec: str, t: int) -> str:
+    bits = " || ".join(
+        "(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[{hyperplane_sql(t, j, 'i-1')} * CAST({vec}[i] AS DOUBLE) "
+        f"for i in range(1, len({vec})+1)]), (s, x) -> s + x) > 0 THEN '1' ELSE '0' END)"
+        for j in range(LSH_BITS)
+    )
+    return f"({bits})"
+
+
+ANN_LSH_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {", ".join(f"{_bucket_sql('qv', t)} AS qb{t}" for t in range(LSH_TABLES))} FROM q),
+eb AS (
+  SELECT vec_id, embedding,
+         {", ".join(f"{_bucket_sql('embedding', t)} AS eb{t}" for t in range(LSH_TABLES))}
+  FROM embeddings
+),
+cand AS (
+  SELECT eb.vec_id, eb.embedding FROM eb, qb
+  WHERE {" OR ".join(f"eb.eb{t} = qb.qb{t}" for t in range(LSH_TABLES))}
+),
+scored AS (
+  SELECT e.vec_id, round({_QDOT} / ({_QNORM_E} * {_QNORM_Q}), 6) AS cos
+  FROM cand e, q
+)
+SELECT vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
+CORPUS_REGISTRY: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+}
