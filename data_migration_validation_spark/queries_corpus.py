@@ -355,7 +355,31 @@ SELECT vec_id, cos, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# -- multimodal: binary decode plumbing (documents' text encoded as the
+# opaque payload; Arrow mapInPandas byte stats vs SQL ascii math — ASCII
+# corpus so 1 char == 1 byte) ---------------------------------------------
+
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.multimodal import decode_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    out = decode_stats(docs)
+    return out.select("media_id", "n_bytes", F.round(F.col("mean_byte"), 6).alias("mean_byte"))
+
+
+MEDIA_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(len(text) AS BIGINT) AS n_bytes,
+       round(CAST(list_sum([ascii(substr(text, i, 1)) for i in range(1, len(text)+1)]) AS DOUBLE)
+             / len(text), 6) AS mean_byte
+FROM documents
+"""
+
+
 CORPUS_REGISTRY: dict[str, tuple] = {
+    "media_decode_stats": (media_decode_stats, MEDIA_DECODE_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
