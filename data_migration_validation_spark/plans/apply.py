@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_migration_validation_spark.functions.text import extract_text
-from data_migration_validation_spark.operators.lww import lww_apply_in_pandas, lww_window
+from data_migration_validation_spark.operators.lww import (
+    lww_apply_in_pandas,
+    lww_window,
+    lww_window_bucketed,
+)
 from data_migration_validation_spark.plans.checkpoint import CheckpointStore
 from data_migration_validation_spark.plans.lake import BUCKET_COL, LakeTable, bucket_expr
 from data_migration_validation_spark.schema import SchemaRegistry, conform
@@ -131,11 +135,15 @@ class CDCApplyEngine:
             state = self.lake.read(self.spark, buckets=touched)
             if state is not None and state.schema != target:
                 state = conform(state, target)
-            merged = winners.drop(BUCKET_COL)
+            merged = winners
             if state is not None:
-                merged = merged.unionByName(state)
-            merged = lww_window(merged, key=key, order=("warc_ts", "seq"))
-            merged = merged.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+                merged = merged.unionByName(
+                    state.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+                )
+            # one shuffle: LWW keyed on the bucket == the write partitioning
+            merged = lww_window_bucketed(
+                merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
+            )
 
             committed = self.lake.commit(
                 merged,

@@ -198,9 +198,12 @@ class LakeTable:
 
         version = self._next_version()
         commit_dir = os.path.join(self.data_dir, f"commit-{version}-{uuid.uuid4().hex[:8]}")
+        # No repartition here: the caller shuffles by _bucket already (the
+        # merge's LWW shuffle is keyed on the bucket — see
+        # operators/lww.lww_window_bucketed), so each task holds whole
+        # buckets and partitionBy writes ~one file per bucket.
         (
-            new_bucket_data.repartition(max(1, len(touched_buckets)), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
+            new_bucket_data.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(commit_dir)
         )
