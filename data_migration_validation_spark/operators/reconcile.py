@@ -19,7 +19,9 @@ Both emit the same long schema:
     (key, column, old_value, new_value, kind)
 kind ∈ {mismatch, only_in_old, only_in_new, dup_key}; values rendered as
 strings (binary → base64) for the report surface; equality is evaluated on
-the raw values BEFORE rendering.
+the raw values BEFORE rendering. Row-level findings (membership, dup_key)
+carry ``column = ''`` — a non-null sentinel, so downstream sorts/compares
+never order NULL against strings.
 """
 
 from __future__ import annotations
@@ -62,7 +64,7 @@ def snapshot_diff(
 
     membership = j.where(F.col("_in_old").isNull() | F.col("_in_new").isNull()).select(
         F.col("key"),
-        F.lit(None).cast("string").alias("column"),
+        F.lit("").alias("column"),
         F.lit(None).cast("string").alias("old_value"),
         F.lit(None).cast("string").alias("new_value"),
         F.when(F.col("_in_new").isNull(), F.lit("only_in_old")).otherwise(F.lit("only_in_new")).alias("kind"),
@@ -119,12 +121,12 @@ def cogroup_reconcile(
         rows: list[tuple] = []
         k = (kdf[key].iloc[0] if len(kdf) else ndf[key].iloc[0])
         if len(kdf) > 1 or len(ndf) > 1:
-            rows.append((k, None, str(len(kdf)), str(len(ndf)), "dup_key"))
+            rows.append((k, "", str(len(kdf)), str(len(ndf)), "dup_key"))
             return pd.DataFrame(rows, columns=DIFF_SCHEMA_FIELDS)
         if len(kdf) == 0:
-            rows.append((k, None, None, None, "only_in_new"))
+            rows.append((k, "", None, None, "only_in_new"))
         elif len(ndf) == 0:
-            rows.append((k, None, None, None, "only_in_old"))
+            rows.append((k, "", None, None, "only_in_old"))
         else:
             o_row, n_row = kdf.iloc[0], ndf.iloc[0]
             for c in columns:

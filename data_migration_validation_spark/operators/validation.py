@@ -314,15 +314,29 @@ def apply_signoff(
             [(str(k), str(c).lower()) for k, c in verified_pairs],
             f"{pk} string, _ver_col string",
         )
-    v = verified_pairs.withColumn("_verified", F.lit(True))
+    # rename overlay columns before joining: findings and the overlay may
+    # share lineage (both derived from the same scan), and positional
+    # references like findings[pk] == v[pk] then collapse to a trivially
+    # true predicate
+    v = (
+        verified_pairs.select(
+            F.col(pk).alias("_ver_pk"), F.col("_ver_col"), F.lit(True).alias("_verified")
+        )
+        if "_ver_col" in verified_pairs.columns
+        else verified_pairs.select(
+            F.col(verified_pairs.columns[0]).alias("_ver_pk"),
+            F.col(verified_pairs.columns[1]).alias("_ver_col"),
+            F.lit(True).alias("_verified"),
+        )
+    )
     return (
         findings.join(
             F.broadcast(v),
-            (findings[pk] == v[pk]) & (F.lower(findings["column"]) == v["_ver_col"]),
+            (F.col(pk) == F.col("_ver_pk"))
+            & (F.lower(F.col("column")) == F.col("_ver_col")),
             "left",
         )
-        .drop(v[pk])
-        .drop("_ver_col")
+        .drop("_ver_pk", "_ver_col")
         .withColumn("verified", F.coalesce(F.col("_verified"), F.lit(False)))
         .drop("_verified")
     )
@@ -330,9 +344,14 @@ def apply_signoff(
 
 # -- O13: proof artifact presentation --------------------------------------------------------------
 
-def proof(df: DataFrame, order_by: str, limit: int = INLINE_MAX_ROWS) -> DataFrame:
-    """Sorted, capped presentation slice (TopK — Spark plans takeOrdered)."""
-    return df.orderBy(order_by).limit(limit)
+def proof(
+    df: DataFrame, order_by: str | Sequence[str], limit: int = INLINE_MAX_ROWS
+) -> DataFrame:
+    """Sorted, capped presentation slice (TopK — Spark plans takeOrdered).
+    Pass a composite ``order_by`` that is a total order so the capped set
+    is deterministic."""
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    return df.orderBy(*cols).limit(limit)
 
 
 # -- O14: check summary -------------------------------------------------------------------------------

@@ -265,6 +265,77 @@ def val_format_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return format_violations(old, "c_custkey", {"email": "email_format"})
 
 
+def _drifted_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW snapshot with schema drift for O7: gains `email`, loses
+    `c_nationkey` — the additive-column + dropped-column shape the
+    schema-registry merge handles at ingest."""
+    return (
+        new_customers(spark, sf_dir)
+        .withColumn("email", F.concat(F.lit("user"), F.col("c_custkey").cast("string")))
+        .drop("c_nationkey")
+    )
+
+
+def val_schema_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.validation import schema_comparison
+
+    return schema_comparison(old_customers(spark, sf_dir), _drifted_new(spark, sf_dir))
+
+
+def val_signoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12: cell mismatches annotated with the broadcast sign-off overlay.
+    Verified pairs derived from data (even keys with the seeded name edit),
+    so the oracle reproduces them in closed form."""
+    from data_migration_validation_spark.operators.validation import (
+        apply_signoff,
+        cell_mismatches,
+    )
+
+    old = old_customers(spark, sf_dir)
+    findings = cell_mismatches(old, new_customers(spark, sf_dir), _val_cfg(spark, sf_dir))
+    pairs = old.where("c_custkey % 13 = 1 AND c_custkey % 2 = 0").select(
+        "c_custkey", F.lit("c_name").alias("_ver_col")
+    )
+    return apply_signoff(findings, pairs, "c_custkey")
+
+
+def val_proof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13: sorted+capped proof slice of the mismatch findings. The
+    composite (pk, column) order is total, so the top-100 set is
+    deterministic and oracle-comparable."""
+    from data_migration_validation_spark.operators.validation import (
+        cell_mismatches,
+        proof,
+    )
+
+    m = cell_mismatches(
+        old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+    )
+    return proof(m, ["c_custkey", "column"], limit=100)
+
+
+def val_check_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_migration_validation_spark.operators.validation import check_summary
+
+    return check_summary(
+        old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+    )
+
+
+def reconcile_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star reconciliation operator: cogroup-based keyed diff of the
+    OLD/NEW snapshots (membership + dup keys + byte-exact cell compare in
+    Arrow batches)."""
+    from data_migration_validation_spark.operators.reconcile import cogroup_reconcile
+
+    # key cast to string up front: the diff schema renders keys as strings
+    return cogroup_reconcile(
+        old_customers(spark, sf_dir).withColumn("c_custkey", F.col("c_custkey").cast("string")),
+        new_customers(spark, sf_dir).withColumn("c_custkey", F.col("c_custkey").cast("string")),
+        key="c_custkey",
+    )
+
+
 _VAL_ORACLES = {
     "val_row_counts": f"""{SNAPSHOT_CTES}
 SELECT * FROM (
@@ -334,6 +405,136 @@ SELECT c_custkey, 'email' AS column, email AS value, 'email_format' AS rule
 FROM with_email
 WHERE NOT regexp_matches(email, '\\S+@\\S+\\.\\S+')
 """,
+    # O7 is a metadata operator: output depends only on the (scale-invariant)
+    # table schemas, so the oracle is the expected literal relation.
+    "val_schema_comparison": """
+SELECT * FROM (VALUES
+  ('c_acctbal',    true,  true,  'decimal(12,2)', 'decimal(12,2)'),
+  ('c_custkey',    true,  true,  'bigint',        'bigint'),
+  ('c_mktsegment', true,  true,  'string',        'string'),
+  ('c_name',       true,  true,  'string',        'string'),
+  ('c_nationkey',  true,  false, 'int',           ''),
+  ('email',        false, true,  '',              'string')
+) AS t("column", present_in_old, present_in_new, dtype_old, dtype_new)
+""",
+    "val_signoff": f"""{SNAPSHOT_CTES},
+joined AS (
+  SELECT o.c_custkey,
+         o.c_name AS o_name, n.c_name AS n_name,
+         o.c_acctbal AS o_bal, n.c_acctbal AS n_bal,
+         o.c_mktsegment AS o_seg, n.c_mktsegment AS n_seg
+  FROM old_snap o JOIN new_snap n USING (c_custkey)
+),
+m AS (
+  SELECT c_custkey, 'c_name' AS column, CAST(o_name AS VARCHAR) AS old_value, CAST(n_name AS VARCHAR) AS new_value
+  FROM joined WHERE o_name IS DISTINCT FROM n_name
+  UNION ALL
+  SELECT c_custkey, 'c_acctbal', CAST(o_bal AS VARCHAR), CAST(n_bal AS VARCHAR)
+  FROM joined WHERE o_bal IS DISTINCT FROM n_bal
+  UNION ALL
+  SELECT c_custkey, 'c_mktsegment', CAST(o_seg AS VARCHAR), CAST(n_seg AS VARCHAR)
+  FROM joined WHERE o_seg IS DISTINCT FROM n_seg
+)
+SELECT c_custkey, "column", old_value, new_value,
+       ("column" = 'c_name' AND c_custkey % 13 = 1 AND c_custkey % 2 = 0) AS verified
+FROM m
+""",
+    "val_proof_topk": f"""{SNAPSHOT_CTES},
+joined AS (
+  SELECT o.c_custkey,
+         o.c_name AS o_name, n.c_name AS n_name,
+         o.c_acctbal AS o_bal, n.c_acctbal AS n_bal,
+         o.c_mktsegment AS o_seg, n.c_mktsegment AS n_seg
+  FROM old_snap o JOIN new_snap n USING (c_custkey)
+),
+m AS (
+  SELECT c_custkey, 'c_name' AS column, CAST(o_name AS VARCHAR) AS old_value, CAST(n_name AS VARCHAR) AS new_value
+  FROM joined WHERE o_name IS DISTINCT FROM n_name
+  UNION ALL
+  SELECT c_custkey, 'c_acctbal', CAST(o_bal AS VARCHAR), CAST(n_bal AS VARCHAR)
+  FROM joined WHERE o_bal IS DISTINCT FROM n_bal
+  UNION ALL
+  SELECT c_custkey, 'c_mktsegment', CAST(o_seg AS VARCHAR), CAST(n_seg AS VARCHAR)
+  FROM joined WHERE o_seg IS DISTINCT FROM n_seg
+)
+SELECT * FROM m ORDER BY c_custkey, "column" LIMIT 100
+""",
+    "val_check_summary": f"""{SNAPSHOT_CTES},
+agg AS (
+  SELECT
+    (SELECT count(*) FROM old_snap) AS old_raw,
+    (SELECT count(*) FROM old_snap WHERE {ALLOWED_DELETIONS_SQL}) AS old_allow,
+    (SELECT count(*) FROM new_snap) AS new_raw,
+    (SELECT count(*) FROM new_snap WHERE {ALLOWED_ADDITIONS_SQL}) AS new_allow,
+    (SELECT coalesce(sum(cnt - 1), 0) FROM (SELECT count(*) AS cnt FROM old_snap GROUP BY c_custkey) WHERE cnt > 1) AS old_dups,
+    (SELECT coalesce(sum(cnt - 1), 0) FROM (SELECT count(*) AS cnt FROM new_snap GROUP BY c_custkey) WHERE cnt > 1) AS new_dups,
+    (SELECT count(*) FROM old_snap WHERE c_mktsegment IS NULL) AS old_null_seg,
+    (SELECT count(*) FROM new_snap WHERE c_mktsegment IS NULL) AS new_null_seg,
+    (SELECT count(*) FROM old_snap WHERE c_name IS NULL) AS old_null_name,
+    (SELECT count(*) FROM new_snap WHERE c_name IS NULL) AS new_null_name,
+    (SELECT count(*) FROM old_snap
+     WHERE c_custkey NOT IN (SELECT c_custkey FROM new_snap) AND NOT {ALLOWED_DELETIONS_SQL}) AS miss,
+    (SELECT count(*) FROM new_snap
+     WHERE c_custkey NOT IN (SELECT c_custkey FROM old_snap) AND NOT {ALLOWED_ADDITIONS_SQL}) AS extra
+)
+SELECT 'Row count match' AS check,
+       CASE WHEN old_raw - old_allow = new_raw - new_allow THEN 'PASS' ELSE 'FAIL' END AS status,
+       'Old=' || old_raw || ' (adj ' || (old_raw - old_allow) || '), New=' || new_raw
+        || ' (adj ' || (new_raw - new_allow) || ')' AS notes
+FROM agg
+UNION ALL
+SELECT 'Primary key duplicates',
+       CASE WHEN old_dups = 0 AND new_dups = 0 THEN 'PASS' ELSE 'FAIL' END,
+       'Old dupes=' || old_dups || ', New dupes=' || new_dups
+FROM agg
+UNION ALL
+SELECT 'Nulls in required fields',
+       CASE WHEN old_null_seg = 0 AND new_null_seg = 0 AND old_null_name = 0 AND new_null_name = 0
+            THEN 'PASS' ELSE 'WARN' END,
+       'c_mktsegment: Old=' || old_null_seg || ', New=' || new_null_seg
+        || '; c_name: Old=' || old_null_name || ', New=' || new_null_name
+FROM agg
+UNION ALL
+SELECT 'Missing/extra keys',
+       CASE WHEN miss = 0 AND extra = 0 THEN 'PASS' ELSE 'FAIL' END,
+       'Only in old=' || miss || ', only in new=' || extra
+FROM agg
+""",
+    "reconcile_cogroup": f"""{SNAPSHOT_CTES},
+o_cnt AS (SELECT c_custkey AS k, count(*) AS co FROM old_snap GROUP BY 1),
+n_cnt AS (SELECT c_custkey AS k, count(*) AS cn FROM new_snap GROUP BY 1),
+keys AS (
+  SELECT coalesce(o.k, n.k) AS k, coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
+  FROM o_cnt o FULL OUTER JOIN n_cnt n ON o.k = n.k
+),
+j AS (
+  SELECT o.c_custkey AS k, o.c_name AS o_name, n.c_name AS n_name,
+         o.c_nationkey AS o_nat, n.c_nationkey AS n_nat,
+         o.c_acctbal AS o_bal, n.c_acctbal AS n_bal,
+         o.c_mktsegment AS o_seg, n.c_mktsegment AS n_seg
+  FROM old_snap o JOIN new_snap n USING (c_custkey)
+  WHERE o.c_custkey IN (SELECT k FROM keys WHERE co = 1 AND cn = 1)
+)
+SELECT CAST(k AS VARCHAR) AS key, '' AS column, CAST(co AS VARCHAR) AS old_value,
+       CAST(cn AS VARCHAR) AS new_value, 'dup_key' AS kind
+FROM keys WHERE co > 1 OR cn > 1
+UNION ALL
+SELECT CAST(k AS VARCHAR), '', NULL, NULL, 'only_in_old' FROM keys WHERE cn = 0 AND co = 1
+UNION ALL
+SELECT CAST(k AS VARCHAR), '', NULL, NULL, 'only_in_new' FROM keys WHERE co = 0 AND cn = 1
+UNION ALL
+SELECT CAST(k AS VARCHAR), 'c_name', CAST(o_name AS VARCHAR), CAST(n_name AS VARCHAR), 'mismatch'
+FROM j WHERE o_name IS DISTINCT FROM n_name
+UNION ALL
+SELECT CAST(k AS VARCHAR), 'c_nationkey', CAST(o_nat AS VARCHAR), CAST(n_nat AS VARCHAR), 'mismatch'
+FROM j WHERE o_nat IS DISTINCT FROM n_nat
+UNION ALL
+SELECT CAST(k AS VARCHAR), 'c_acctbal', CAST(o_bal AS VARCHAR), CAST(n_bal AS VARCHAR), 'mismatch'
+FROM j WHERE o_bal IS DISTINCT FROM n_bal
+UNION ALL
+SELECT CAST(k AS VARCHAR), 'c_mktsegment', CAST(o_seg AS VARCHAR), CAST(n_seg AS VARCHAR), 'mismatch'
+FROM j WHERE o_seg IS DISTINCT FROM n_seg
+""",
 }
 
 
@@ -351,4 +552,9 @@ REGISTRY: dict[str, tuple] = {
     "val_rekeys": (val_rekeys, _VAL_ORACLES["val_rekeys"]),
     "val_null_summary": (val_null_summary, _VAL_ORACLES["val_null_summary"]),
     "val_format_violations": (val_format_violations, _VAL_ORACLES["val_format_violations"]),
+    "val_schema_comparison": (val_schema_comparison, _VAL_ORACLES["val_schema_comparison"]),
+    "val_signoff": (val_signoff, _VAL_ORACLES["val_signoff"]),
+    "val_proof_topk": (val_proof_topk, _VAL_ORACLES["val_proof_topk"]),
+    "val_check_summary": (val_check_summary, _VAL_ORACLES["val_check_summary"]),
+    "reconcile_cogroup": (reconcile_cogroup, _VAL_ORACLES["reconcile_cogroup"]),
 }

@@ -42,7 +42,11 @@ def _canon(v):
 
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+    # None-safe sort: NULLs order before any string
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is not None, v if v is not None else "") for v in t),
+    )
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
