@@ -4,26 +4,33 @@ Per epoch (SURVEY.md §3 engine lifecycle):
 
 1. **idempotency guard** — skip epochs already in the current snapshot's
    epoch set (crash between commit and checkpoint → re-run is a no-op);
-2. **flatten + schema merge** — payload struct flattened to columns;
+2. **lineage pre-scan** — per-bucket (min seq, max seq, event count) from
+   a COLUMN-PRUNED aggregation over the raw slice (only the key and seq
+   columns are read — the html payload never flows through this job);
+   also yields the touched-bucket set for manifest pruning;
+3. **flatten + schema merge** — payload struct flattened to columns;
    incoming schema merged into the registry (additive columns, widening)
    — the durable registry IS the lake snapshot schema;
-3. **in-batch LWW dedup** — per-url winner by (warc_ts, seq) desc; either
+4. **in-batch LWW dedup** — per-url winner by (warc_ts, seq) desc; either
    the JVM window path or the salted applyInPandas path (north-star);
-4. **text extraction** — vectorized Arrow UDF html→text on the winners
+5. **text extraction** — vectorized Arrow UDF html→text on the winners
    only (never on pre-dedup volume);
-5. **bucket-pruned MERGE** — read ONLY the state buckets the batch
+6. **bucket-pruned MERGE** — read ONLY the state buckets the batch
    touches (manifest-level pruning), union with winners, take the LWW
    winner per key again (an upsert that cannot let an out-of-order older
    event overwrite newer state). Tombstones (op='D') are kept as
    deleted=true rows so a late old update cannot resurrect a deleted key;
-6. **atomic epoch-keyed commit** + per-partition lineage + metrics +
-   checkpoint.
+7. **atomic epoch-keyed commit** + per-partition lineage + metrics +
+   checkpoint. Post-commit row counts come from the written parquet
+   footers (driver-side metadata, no extra job).
 
-Scale notes: everything between read and commit is one declarative plan —
-Catalyst fuses the flatten/filter/window; the only shuffles are the
-per-key window (hash on url) and the bucket-write repartition, and both
-partition by functions of the same key. The driver never holds data rows;
-it only sees the touched-bucket id list and lineage aggregates.
+Scale notes: the heavy path (steps 3-6) is ONE declarative single-pass
+plan — no persist/cache of intermediate winners, no double
+materialization; Catalyst fuses the flatten/filter/window, and the only
+shuffles are the per-key window (hash on url) and the bucket-keyed merge
+window, which doubles as the write partitioning. The driver never holds
+data rows; it only sees the touched-bucket list, lineage aggregates, and
+file-footer stats.
 """
 
 from __future__ import annotations
@@ -52,7 +59,7 @@ class ApplyStats:
     epoch: int
     skipped: bool
     events_seen: int = 0
-    winners: int = 0
+    merged_rows: int = 0  # rows written across touched buckets (from footers)
     buckets_touched: int = 0
     seconds: float = 0.0
 
@@ -92,7 +99,24 @@ class CDCApplyEngine:
             return ApplyStats(epoch=epoch, skipped=True)
 
         key = self.key_col
-        # 2. flatten payload; tombstones keep null payload columns
+        # 2. lineage pre-scan: per-bucket source offsets + event counts
+        # from ONLY (key, seq) — column pruning keeps the html payload out
+        # of this job entirely (at a parquet source this is a 2-column scan).
+        lineage_rows = (
+            events.select(key, "seq")
+            .withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+            .groupBy(BUCKET_COL)
+            .agg(
+                F.min("seq").alias("source_offset_start"),
+                F.max("seq").alias("source_offset_end"),
+                F.count("*").alias("applied_events"),
+            )
+            .collect()
+        )
+        touched = {r[BUCKET_COL] for r in lineage_rows}
+        n_events = sum(r["applied_events"] for r in lineage_rows)
+
+        # 3. flatten payload; tombstones keep null payload columns
         flat = events.select(
             key,
             "warc_ts",
@@ -101,90 +125,76 @@ class CDCApplyEngine:
             F.col("payload.*"),
         )
 
-        # 3. in-batch LWW winner per key
+        # 4. in-batch LWW winner per key
         if self.use_pandas_lww:
             winners = lww_apply_in_pandas(flat, key=key, order=("warc_ts", "seq"), n_salts=self.n_salts)
         else:
             winners = lww_window(flat, key=key, order=("warc_ts", "seq"))
 
-        # 4. vectorized text extraction on winners only
+        # 5. vectorized text extraction on winners only
         if "html" in winners.columns:
             winners = winners.withColumn("text", extract_text(F.col("html")))
 
-        # 5. schema merge (registry == durable snapshot schema)
+        # 6. schema merge (registry == durable snapshot schema)
         target = self.registry.merge(winners.schema)
         winners = conform(winners, target)
-
-        # materialize winners once: lineage aggregates + touched buckets +
-        # the merge all reuse it.
         winners = winners.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
-        winners.persist()
-        try:
-            lineage_rows = (
-                winners.groupBy(BUCKET_COL)
-                .agg(
-                    F.min("seq").alias("source_offset_start"),
-                    F.max("seq").alias("source_offset_end"),
-                    F.count("*").alias("applied_events"),
-                )
-                .collect()
-            )
-            touched = {r[BUCKET_COL] for r in lineage_rows}
-            n_winners = sum(r["applied_events"] for r in lineage_rows)
 
-            state = self.lake.read(self.spark, buckets=touched)
-            if state is not None and state.schema != target:
-                state = conform(state, target)
-            merged = winners
-            if state is not None:
-                merged = merged.unionByName(
-                    state.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
-                )
-            # one shuffle: LWW keyed on the bucket == the write partitioning
-            merged = lww_window_bucketed(
-                merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
+        state = self.lake.read(self.spark, buckets=touched)
+        if state is not None and state.schema != target:
+            state = conform(state, target)
+        merged = winners
+        if state is not None:
+            merged = merged.unionByName(
+                state.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
             )
+        # single pass, one data shuffle chain: in-batch LWW (hash on key)
+        # then the bucket-keyed merge LWW whose shuffle IS the write
+        # partitioning. No persist — nothing is materialized twice.
+        merged = lww_window_bucketed(
+            merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
+        )
 
-            committed = self.lake.commit(
-                merged,
-                touched_buckets=touched,
-                epoch=epoch,
-                schema=target,
-                summary={"winners": n_winners},
+        committed, merged_rows = self.lake.commit(
+            merged,
+            touched_buckets=touched,
+            epoch=epoch,
+            schema=target,
+            summary={"applied_events": n_events},
+        )
+        commit_ts = time.time()
+        if committed:
+            self.ckpt.append_lineage(
+                [
+                    {
+                        "epoch": epoch,
+                        "partition": int(r[BUCKET_COL]),
+                        "source_offset_start": int(r["source_offset_start"]),
+                        "source_offset_end": int(r["source_offset_end"]),
+                        "applied_events": int(r["applied_events"]),
+                        "commit_ts": commit_ts,
+                    }
+                    for r in lineage_rows
+                ]
             )
-            commit_ts = time.time()
-            if committed:
-                self.ckpt.append_lineage(
-                    [
-                        {
-                            "epoch": epoch,
-                            "partition": int(r[BUCKET_COL]),
-                            "source_offset_start": int(r["source_offset_start"]),
-                            "source_offset_end": int(r["source_offset_end"]),
-                            "applied_events": int(r["applied_events"]),
-                            "commit_ts": commit_ts,
-                        }
-                        for r in lineage_rows
-                    ]
-                )
-                dt = time.monotonic() - t0
-                self.ckpt.append_metrics(
-                    [
-                        {"epoch": epoch, "stage": "apply", "metric": "winners", "value": float(n_winners)},
-                        {"epoch": epoch, "stage": "apply", "metric": "buckets_touched", "value": float(len(touched))},
-                        {"epoch": epoch, "stage": "apply", "metric": "seconds", "value": dt},
-                    ]
-                )
-            if crash_after_commit:
-                raise RuntimeError("injected crash between commit and checkpoint")
-            self.ckpt.write_epoch(epoch)
-        finally:
-            winners.unpersist()
+            dt = time.monotonic() - t0
+            self.ckpt.append_metrics(
+                [
+                    {"epoch": epoch, "stage": "apply", "metric": "applied_events", "value": float(n_events)},
+                    {"epoch": epoch, "stage": "apply", "metric": "merged_rows", "value": float(merged_rows)},
+                    {"epoch": epoch, "stage": "apply", "metric": "buckets_touched", "value": float(len(touched))},
+                    {"epoch": epoch, "stage": "apply", "metric": "seconds", "value": dt},
+                ]
+            )
+        if crash_after_commit:
+            raise RuntimeError("injected crash between commit and checkpoint")
+        self.ckpt.write_epoch(epoch)
 
         return ApplyStats(
             epoch=epoch,
             skipped=not committed,
-            winners=int(n_winners),
+            events_seen=int(n_events),
+            merged_rows=int(merged_rows),
             buckets_touched=len(touched),
             seconds=time.monotonic() - t0,
         )

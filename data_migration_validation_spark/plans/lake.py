@@ -182,19 +182,20 @@ class LakeTable:
         epoch: int,
         schema: StructType,
         summary: dict | None = None,
-    ) -> bool:
+    ) -> tuple[bool, int]:
         """Atomically commit one epoch: write parquet for touched buckets,
         carry all other buckets forward, publish the new manifest.
 
-        Returns False (no-op) if ``epoch`` was already applied — the
-        idempotency guard that makes crash-replay exactly-once.
-        ``new_bucket_data`` must contain ``_bucket`` and exactly the columns
-        of ``schema``.
+        Returns ``(committed, rows_written)``; rows come from the written
+        files' parquet footers (driver-side metadata — no counting job).
+        ``(False, 0)`` if ``epoch`` was already applied — the idempotency
+        guard that makes crash-replay exactly-once. ``new_bucket_data``
+        must contain ``_bucket`` and exactly the columns of ``schema``.
         """
         prev = self.current_snapshot()
         applied = set(prev.epochs) if prev else set()
         if epoch in applied:
-            return False
+            return False, 0
 
         version = self._next_version()
         commit_dir = os.path.join(self.data_dir, f"commit-{version}-{uuid.uuid4().hex[:8]}")
@@ -237,6 +238,16 @@ class LakeTable:
             file_groups.pop(schema_json, None)
             file_groups.setdefault(schema_json, {})  # keep schema recorded
 
+        rows_written = 0
+        try:
+            import pyarrow.parquet as pq
+
+            for files in new_by_bucket.values():
+                for fp in files:
+                    rows_written += pq.ParquetFile(fp).metadata.num_rows
+        except Exception:
+            rows_written = -1  # footer stats unavailable; not fatal
+
         manifest = {
             "version": version,
             "epochs": sorted(applied | {epoch}),
@@ -246,4 +257,4 @@ class LakeTable:
         }
         _atomic_write(os.path.join(self.meta_dir, f"v{version}.json"), json.dumps(manifest))
         _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
-        return True
+        return True, rows_written

@@ -64,6 +64,11 @@ class BinlogConfig:
     # fraction (percent) of events redelivered into the following epoch
     dup_pct: int = 5
     num_partitions: int | None = None
+    # payload size: words per page (~6.5 bytes/word). Defaults give tiny
+    # pages for fast tests; benchmarks use hundreds of words so the
+    # pipeline moves Common-Crawl-realistic byte volumes.
+    min_words: int = 5
+    max_words: int = 40
 
     @property
     def n_events(self) -> int:
@@ -98,7 +103,7 @@ def _raw_events(spark: SparkSession, cfg: BinlogConfig) -> DataFrame:
     eid = key * cfg.max_versions + log_pos  # log position → seq
     ts_seconds = v_eff * 3600 + (_mixed(key, 5) % 60)
     content_id = key * cfg.max_versions + v_eff + F.lit(cfg.seed * 7919)
-    text = text_expr(content_id)
+    text = text_expr(content_id, min_words=cfg.min_words, max_words=cfg.max_words)
 
     is_delete = (v_eff > 0) & (_mixed(key * cfg.max_versions + v_eff, 23) % 6 == 0)
     op = (

@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the CDC/incremental-ingest engine.
+
+Cluster usage (north rule — BASELINE.json:14):
+
+    zip -r engine.zip data_migration_validation_spark
+    spark-submit --py-files engine.zip main.py <command> [args]
+
+Locally the same commands run with a ``local[N]`` master (session.py
+detects whether spark-submit already provided one).
+
+Commands
+--------
+generate   synthesize a deterministic binlog/WAL to parquet
+apply      replay a binlog into a lake table (epoch commits, resume-safe)
+reconcile  cogroup-diff the lake's final state against an expected snapshot
+validate   reference-semantics migration validation of an OLD/NEW table
+           pair, writing the reference's proof artifacts as CSVs
+           (/root/reference/src/validate.py:133-177 surface, distributed)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(app: str):
+    from data_migration_validation_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def cmd_generate(args: argparse.Namespace) -> int:
+    from data_migration_validation_spark.sources.binlog import BinlogConfig, synth_binlog
+
+    spark = _spark("dmv-generate")
+    cfg = BinlogConfig(
+        n_keys=args.keys,
+        max_versions=args.max_versions,
+        events_per_epoch=args.events_per_epoch or max(1000, args.keys),
+        seed=args.seed,
+        hot_fraction_pct=args.hot_pct,
+        evo2_epoch=args.evo2_epoch,
+        evo3_epoch=args.evo3_epoch,
+    )
+    synth_binlog(spark, cfg).write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"command": "generate", "out": args.out, "events": n, "epochs": cfg.n_epochs}))
+    return 0
+
+
+def cmd_apply(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+
+    spark = _spark("dmv-apply")
+    log = spark.read.parquet(args.log)
+    engine = CDCApplyEngine(
+        spark,
+        table_path=args.table,
+        checkpoint_path=args.checkpoint,
+        key_col=args.key,
+        num_buckets=args.buckets,
+        use_pandas_lww=args.pandas_lww,
+    )
+    lo, hi = log.agg(F.min("batch_epoch"), F.max("batch_epoch")).collect()[0]
+    last = engine.ckpt.last_epoch()
+    # resume hint: skip strictly below the checkpointed epoch; the
+    # checkpointed epoch itself is re-offered and the lake's idempotency
+    # guard no-ops it (crash-between-commit-and-checkpoint safety).
+    start = int(lo) if (args.no_resume or last is None) else max(int(lo), last)
+    for epoch in range(int(lo), int(hi) + 1):
+        if epoch < start:
+            continue
+        st = engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
+        print(
+            json.dumps(
+                {
+                    "epoch": st.epoch,
+                    "skipped": st.skipped,
+                    "applied_events": st.events_seen,
+                    "merged_rows": st.merged_rows,
+                    "buckets_touched": st.buckets_touched,
+                    "seconds": round(st.seconds, 3),
+                }
+            )
+        )
+    final = engine.read_final()
+    print(json.dumps({"command": "apply", "final_rows": final.count() if final is not None else 0}))
+    return 0
+
+
+def cmd_reconcile(args: argparse.Namespace) -> int:
+    from data_migration_validation_spark.operators.reconcile import (
+        cogroup_reconcile,
+        reconciliation_report,
+    )
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+
+    spark = _spark("dmv-reconcile")
+    engine = CDCApplyEngine(
+        spark, table_path=args.table, checkpoint_path=args.checkpoint, key_col=args.key
+    )
+    final = engine.read_final()
+    expected = spark.read.parquet(args.expected)
+    diff = cogroup_reconcile(expected, final, key=args.key)
+    if args.out:
+        diff.orderBy("key", "column").write.mode("overwrite").option("header", True).csv(args.out)
+    report = reconciliation_report(diff)
+    identical = not report
+    print(json.dumps({"command": "reconcile", "identical": identical, "findings": report}))
+    return 0 if identical else 1
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    """The reference's batch validation run (src/validate.py E1 lifecycle),
+    distributed: load OLD/NEW, run the O3–O14 suite, write proof CSVs."""
+    from pyspark.sql import functions as F
+
+    from data_migration_validation_spark.operators import validation as V
+
+    spark = _spark("dmv-validate")
+
+    def load(path: str):
+        if path.endswith(".csv"):
+            # reference semantics: everything as string (validate.py:52-53)
+            df = spark.read.option("header", True).csv(path)
+        else:
+            df = spark.read.parquet(path)
+        return V.normalize_key(df, args.pk)
+
+    old, new = load(args.old), load(args.new)
+    cfg = V.ValidationConfig(
+        primary_key=args.pk,
+        required_fields=args.required or [],
+        compare_columns=args.compare or None,
+        allowed_deletions=frozenset(args.allow_deleted or []),
+        allowed_additions=frozenset(args.allow_added or []),
+        empty_string_is_null=args.empty_is_null,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+
+    def sink(df, name: str, order=None):
+        out = df if order is None else V.proof(df, order)
+        (
+            out.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(os.path.join(args.out, name))
+        )
+
+    sink(V.row_counts(old, new, cfg), "row_counts")
+    sink(V.duplicate_rows(old, args.pk), "duplicates_old", order=args.pk)
+    sink(V.duplicate_rows(new, args.pk), "duplicates_new", order=args.pk)
+    sink(V.null_summary(old, new, cfg), "nulls_summary")
+    sink(V.schema_comparison(old, new), "schema_comparison")
+    sink(V.only_in_old(old, new, cfg), "only_in_old", order=args.pk)
+    sink(V.only_in_new(old, new, cfg), "only_in_new", order=args.pk)
+    mism = V.cell_mismatches(old, new, cfg)
+    sink(mism, "mismatches", order=[args.pk, "column"])
+    if args.rekey_attr:
+        sink(
+            V.possible_rekeys(old, new, cfg, attr=args.rekey_attr),
+            "possible_rekeys",
+            order=args.rekey_attr,
+        )
+    summary = V.check_summary(old, new, cfg)
+    sink(summary, "checks")
+    rows = summary.collect()
+    print(
+        json.dumps(
+            {
+                "command": "validate",
+                "checks": {r["check"]: r["status"] for r in rows},
+                "out": args.out,
+            }
+        )
+    )
+    return 0 if all(r["status"] == "PASS" for r in rows) else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="main.py", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate", help="synthesize a binlog to parquet")
+    g.add_argument("--out", required=True)
+    g.add_argument("--keys", type=int, default=100_000)
+    g.add_argument("--max-versions", type=int, default=4)
+    g.add_argument("--events-per-epoch", type=int, default=0)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--hot-pct", type=int, default=50)
+    g.add_argument("--evo2-epoch", type=int, default=None)
+    g.add_argument("--evo3-epoch", type=int, default=None)
+    g.set_defaults(fn=cmd_generate)
+
+    a = sub.add_parser("apply", help="replay a binlog into a lake table")
+    a.add_argument("--log", required=True)
+    a.add_argument("--table", required=True)
+    a.add_argument("--checkpoint", required=True)
+    a.add_argument("--key", default="url")
+    a.add_argument("--buckets", type=int, default=64)
+    a.add_argument("--pandas-lww", action="store_true")
+    a.add_argument("--no-resume", action="store_true")
+    a.set_defaults(fn=cmd_apply)
+
+    r = sub.add_parser("reconcile", help="diff lake final state vs expected parquet")
+    r.add_argument("--table", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--expected", required=True)
+    r.add_argument("--key", default="url")
+    r.add_argument("--out", default="")
+    r.set_defaults(fn=cmd_reconcile)
+
+    v = sub.add_parser("validate", help="migration validation of OLD/NEW tables")
+    v.add_argument("--old", required=True)
+    v.add_argument("--new", required=True)
+    v.add_argument("--pk", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--required", nargs="*", default=[])
+    v.add_argument("--compare", nargs="*", default=[])
+    v.add_argument("--allow-deleted", nargs="*", default=[])
+    v.add_argument("--allow-added", nargs="*", default=[])
+    v.add_argument("--rekey-attr", default="")
+    v.add_argument("--empty-is-null", action="store_true")
+    v.set_defaults(fn=cmd_validate)
+    return p
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
+    raise SystemExit(args.fn(args))

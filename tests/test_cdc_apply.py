@@ -159,4 +159,5 @@ def test_lineage_accounting(replayed):
         hi = (row["epoch"] + 1) * CFG.events_per_epoch
         assert lo <= row["source_offset_start"] <= row["source_offset_end"] < hi
     m = replayed.ckpt.metrics()
-    assert (m[m.metric == "winners"].value > 0).all()
+    assert (m[m.metric == "applied_events"].value > 0).all()
+    assert (m[m.metric == "merged_rows"].value > 0).all()

@@ -1,0 +1,113 @@
+"""End-to-end tests of the spark-submit CLI (main.py): the reference's
+batch-validation entry point (src/validate.py E1) and the engine's
+generate → apply → reconcile lifecycle, both driven through the same
+argument surface a cluster user invokes."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import main as cli  # noqa: E402
+
+REF = "/root/reference"
+
+
+def _run(argv: list[str]) -> int:
+    args = cli.build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+def _read_csv_dir(path: str) -> pd.DataFrame:
+    files = glob.glob(os.path.join(path, "*.csv"))
+    assert files, f"no csv output in {path}"
+    return pd.concat([pd.read_csv(f, dtype=str) for f in files], ignore_index=True)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF}/sample_data/old_customers.csv"),
+    reason="reference sample data not present",
+)
+def test_validate_cli_reference_goldens(spark, tmp_path):
+    """main.py validate over the reference's own sample data reproduces its
+    committed proof artifacts (output/mismatches.csv: 48 rows; counts
+    1000/5/995 vs 998/3/995; empty membership/dup artifacts)."""
+    out = str(tmp_path / "proofs")
+    rc = _run(
+        [
+            "validate",
+            "--old", f"{REF}/sample_data/old_customers.csv",
+            "--new", f"{REF}/sample_data/new_customers.csv",
+            "--pk", "customer_id",
+            "--out", out,
+            "--required", "email",
+            "--compare", "name", "email", "dob", "balance", "status",
+            "--allow-deleted", "C100105", "C100521", "C100683", "C100690", "C100717",
+            "--allow-added", "NEW0", "NEW1", "NEW2",
+            "--rekey-attr", "email",
+        ]
+    )
+    # row-count check FAILs in the reference report? No: adjusted counts
+    # match (995 == 995), all checks pass on the golden sample.
+    assert rc == 0
+
+    counts = _read_csv_dir(os.path.join(out, "row_counts"))
+    by_ds = {r["dataset"]: r for _, r in counts.iterrows()}
+    assert (by_ds["OLD"]["raw_count"], by_ds["OLD"]["adjusted_count"]) == ("1000", "995")
+    assert (by_ds["NEW"]["raw_count"], by_ds["NEW"]["adjusted_count"]) == ("998", "995")
+
+    mism = _read_csv_dir(os.path.join(out, "mismatches"))
+    assert len(mism) == 48
+    golden = pd.read_csv(f"{REF}/output/mismatches.csv", dtype=str)
+    got = set(map(tuple, mism[["customer_id", "column", "old_value", "new_value"]].values))
+    want = set(map(tuple, golden[["customer_id", "column", "old_value", "new_value"]].values))
+    assert got == want
+
+    for empty in ["only_in_old", "only_in_new", "duplicates_old", "duplicates_new"]:
+        assert len(_read_csv_dir(os.path.join(out, empty))) == 0
+
+
+def test_generate_apply_reconcile_roundtrip(spark, tmp_path):
+    """generate → apply → reconcile: the applied table's final state is
+    identical to the closed-form LWW oracle (exit 0 from reconcile)."""
+    from data_migration_validation_spark.sources.binlog import (
+        BinlogConfig,
+        expected_final_state,
+    )
+
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    exp = str(tmp_path / "expected")
+
+    assert _run(["generate", "--out", log, "--keys", "400", "--events-per-epoch", "600"]) == 0
+
+    cfg = BinlogConfig(n_keys=400, max_versions=4, events_per_epoch=600, seed=42)
+    spark.read.parquet(log)  # exists
+    expected_final_state(spark, cfg, log=spark.read.parquet(log)).select(
+        "url", "warc_ts", "seq", "html", "lang", "fetch_status"
+    ).write.mode("overwrite").parquet(exp)
+
+    assert _run(["apply", "--log", log, "--table", table, "--checkpoint", ckpt, "--buckets", "8"]) == 0
+
+    # reconcile compares url/warc_ts/seq/lang/fetch_status/html/text —
+    # expected lacks `text`; restrict via the engine's column intersection
+    # (expected's columns drive the comparison).
+    rc = _run(
+        ["reconcile", "--table", table, "--checkpoint", ckpt, "--expected", exp, "--key", "url"]
+    )
+    assert rc == 0
+
+    # resume: re-applying the same log is a pure no-op (idempotent epochs)
+    assert _run(["apply", "--log", log, "--table", table, "--checkpoint", ckpt, "--buckets", "8"]) == 0
+    rc2 = _run(
+        ["reconcile", "--table", table, "--checkpoint", ckpt, "--expected", exp, "--key", "url"]
+    )
+    assert rc2 == 0
