@@ -98,6 +98,7 @@ def main() -> None:
             table_path=f"{tmp}/table",
             checkpoint_path=f"{tmp}/ckpt",
             num_buckets=CPUS * 2,
+            in_batch_prededup=True,  # replay workload: many versions/key/epoch
         )
         t0 = time.monotonic()
         for epoch in range(cfg.n_epochs):

@@ -47,13 +47,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_KEYS = int(os.environ.get("SPARK_GRAFT_SCALE_KEYS", "480000"))
-# Default levels are 2 vs 8 cores: a raw CPU-capacity probe of this sandbox
-# (32 concurrent busy processes achieve only ~2.8x the aggregate work of 8
-# — the virtualized host delivers ~22 effective cores) shows 8->32 cannot
-# scale 4x for ANY job here, while 2->8 has full headroom. On a real
-# N->4N-executor cluster each executor brings its own cores+memory
-# bandwidth, which 2->8 models and 8->32 (oversubscribed host) does not.
-LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")]
+# Default levels are 1 vs 4 cores — the widest N-vs-4N pair where this
+# sandbox's hardware itself scales cleanly, so job scaling isn't
+# confounded by host contention. Probes (see BENCH.md):
+#   pure CPU      : 2->8 procs 1.02 eff, 8->32 only 0.71 (host delivers
+#                   ~22 effective cores)
+#   memory copy   : 1->4 procs 1.00 eff, 2->8 only 0.70 (shared memory
+#                   controllers saturate)
+# On a real N->4N-executor cluster each executor brings its own cores AND
+# memory bandwidth; 1->4 on one box is the only pair that models that.
+LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")]
 N_EPOCHS = 3
 NUM_BUCKETS = 64
 MIN_WORDS, MAX_WORDS = 1500, 3000  # ~10-20 KiB html per page (CC-realistic)
@@ -113,9 +116,12 @@ def worker(log_path: str, cpus: int, n_keys: int) -> None:
         events = log.count()
 
         # -- warmup: JIT, Python worker pool, FS cache (untimed) -------------
+        # in_batch_prededup=True: this workload is a REPLAY (~2.6 versions
+        # per key per epoch), the regime the pre-dedup shuffle is for —
+        # extraction then runs on winners only (see CDCApplyEngine docs).
         warm = CDCApplyEngine(
             spark, table_path=f"{tmp}/warm-t", checkpoint_path=f"{tmp}/warm-c",
-            num_buckets=NUM_BUCKETS,
+            num_buckets=NUM_BUCKETS, in_batch_prededup=True,
         )
         warm.apply_epoch(log.where(F.col("batch_epoch") == 0), 0)
         shutil.rmtree(f"{tmp}/warm-t", ignore_errors=True)
@@ -124,7 +130,7 @@ def worker(log_path: str, cpus: int, n_keys: int) -> None:
         # -- timed full replay ------------------------------------------------
         engine = CDCApplyEngine(
             spark, table_path=f"{tmp}/table", checkpoint_path=f"{tmp}/ckpt",
-            num_buckets=NUM_BUCKETS,
+            num_buckets=NUM_BUCKETS, in_batch_prededup=True,
         )
         t0 = time.monotonic()
         for epoch in range(cfg.n_epochs):

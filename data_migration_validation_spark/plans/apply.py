@@ -8,29 +8,29 @@ Per epoch (SURVEY.md §3 engine lifecycle):
    a COLUMN-PRUNED aggregation over the raw slice (only the key and seq
    columns are read — the html payload never flows through this job);
    also yields the touched-bucket set for manifest pruning;
-3. **flatten + schema merge** — payload struct flattened to columns;
-   incoming schema merged into the registry (additive columns, widening)
-   — the durable registry IS the lake snapshot schema;
-4. **in-batch LWW dedup** — per-url winner by (warc_ts, seq) desc; either
-   the JVM window path or the salted applyInPandas path (north-star);
-5. **text extraction** — vectorized Arrow UDF html→text on the winners
-   only (never on pre-dedup volume);
-6. **bucket-pruned MERGE** — read ONLY the state buckets the batch
-   touches (manifest-level pruning), union with winners, take the LWW
-   winner per key again (an upsert that cannot let an out-of-order older
-   event overwrite newer state). Tombstones (op='D') are kept as
-   deleted=true rows so a late old update cannot resurrect a deleted key;
-7. **atomic epoch-keyed commit** + per-partition lineage + metrics +
+3. **flatten + text extraction (map-side)** — payload struct flattened
+   to columns; vectorized Arrow UDF html→text fused into the scan stage,
+   on this batch's events only (state rows never re-cross Python);
+4. **schema merge** — incoming schema merged into the registry (additive
+   columns, widening) — the durable registry IS the lake snapshot schema;
+5. **bucket-pruned single-shuffle MERGE** — read ONLY the state buckets
+   the batch touches (manifest-level pruning), union events with state,
+   and take the LWW winner per key ((warc_ts, seq) desc) in ONE window
+   keyed on the bucket: in-batch dedup and the upsert against state
+   happen in the same shuffle, and that shuffle IS the write
+   partitioning. Out-of-order older events cannot overwrite newer state.
+   Tombstones (op='D') are kept as deleted=true rows so a late old
+   update cannot resurrect a deleted key. The salted applyInPandas LWW
+   (north-star operator, robust to a single hot KEY) is the optional
+   pre-reduction path (use_pandas_lww);
+6. **atomic epoch-keyed commit** + per-partition lineage + metrics +
    checkpoint. Post-commit row counts come from the written parquet
    footers (driver-side metadata, no extra job).
 
-Scale notes: the heavy path (steps 3-6) is ONE declarative single-pass
-plan — no persist/cache of intermediate winners, no double
-materialization; Catalyst fuses the flatten/filter/window, and the only
-shuffles are the per-key window (hash on url) and the bucket-keyed merge
-window, which doubles as the write partitioning. The driver never holds
-data rows; it only sees the touched-bucket list, lineage aggregates, and
-file-footer stats.
+Scale notes: the heavy path is ONE declarative single-pass plan with ONE
+fat-row shuffle per epoch — no persist/cache, no double materialization.
+The driver never holds data rows; it only sees the touched-bucket list,
+lineage aggregates, and file-footer stats.
 """
 
 from __future__ import annotations
@@ -74,12 +74,20 @@ class CDCApplyEngine:
         num_buckets: int = 32,
         use_pandas_lww: bool = False,
         n_salts: int = 16,
+        in_batch_prededup: bool = False,
     ):
+        """``in_batch_prededup``: add a key-hash pre-shuffle that dedups the
+        batch BEFORE text extraction and the merge. Worth it for backfill /
+        replay batches with many versions per key in one epoch (extraction
+        then runs on winners only); for a streaming tail (~1 version per key
+        per epoch) the extra fat-row shuffle costs more than the duplicate
+        extraction it saves, so the default is the single-shuffle path."""
         self.spark = spark
         self.lake = LakeTable(table_path, key_col=key_col, num_buckets=num_buckets)
         self.ckpt = CheckpointStore(checkpoint_path)
         self.key_col = key_col
         self.use_pandas_lww = use_pandas_lww
+        self.in_batch_prededup = in_batch_prededup
         self.n_salts = n_salts
         self.registry = SchemaRegistry()
         snap = self.lake.current_snapshot()
@@ -124,33 +132,46 @@ class CDCApplyEngine:
             (F.col("op") == "D").alias("deleted"),
             F.col("payload.*"),
         )
+        has_html = "html" in flat.columns
 
-        # 4. in-batch LWW winner per key
+        # 4. in-batch LWW. Window path: SKIPPED as a separate shuffle —
+        # raw events go straight into the bucket-keyed merge window below,
+        # which deduplicates and merges in the SAME shuffle (the one that
+        # is also the write partitioning). One fat shuffle per epoch total.
+        # The salted applyInPandas path (north-star operator, hot-KEY
+        # robust) still pre-reduces when selected.
         if self.use_pandas_lww:
-            winners = lww_apply_in_pandas(flat, key=key, order=("warc_ts", "seq"), n_salts=self.n_salts)
+            pre = lww_apply_in_pandas(flat, key=key, order=("warc_ts", "seq"), n_salts=self.n_salts)
+        elif self.in_batch_prededup:
+            pre = lww_window(flat, key=key, order=("warc_ts", "seq"))
         else:
-            winners = lww_window(flat, key=key, order=("warc_ts", "seq"))
+            pre = flat
 
-        # 5. vectorized text extraction on winners only
-        if "html" in winners.columns:
-            winners = winners.withColumn("text", extract_text(F.col("html")))
+        # 5. vectorized text extraction MAP-SIDE, before the shuffle: runs
+        # on this batch's events only (state rows never re-cross the
+        # Python boundary — their text is already stored), and fuses into
+        # the scan stage. Trade-off vs extracting post-dedup: some losing
+        # events get extracted too, but the second key-shuffle of fat rows
+        # disappears — at 1e10 events the shuffle is the scarcer resource.
+        if has_html:
+            pre = pre.withColumn("text", extract_text(F.col("html")))
 
-        # 6. schema merge (registry == durable snapshot schema)
-        target = self.registry.merge(winners.schema)
-        winners = conform(winners, target)
-        winners = winners.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+        # schema merge (registry == durable snapshot schema)
+        target = self.registry.merge(pre.schema)
+        pre = conform(pre, target).withColumn(
+            BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
+        )
 
         state = self.lake.read(self.spark, buckets=touched)
         if state is not None and state.schema != target:
             state = conform(state, target)
-        merged = winners
+        merged = pre
         if state is not None:
             merged = merged.unionByName(
                 state.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
             )
-        # single pass, one data shuffle chain: in-batch LWW (hash on key)
-        # then the bucket-keyed merge LWW whose shuffle IS the write
-        # partitioning. No persist — nothing is materialized twice.
+        # 6. dedup + upsert in ONE window over the bucket shuffle (which is
+        # also the write partitioning)
         merged = lww_window_bucketed(
             merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
         )

@@ -149,6 +149,22 @@ def test_lww_pandas_path_matches_window_path(spark, binlog, replayed, tmp_path):
     assert diff.count() == 0
 
 
+def test_prededup_path_matches_default(spark, binlog, replayed, tmp_path):
+    """The optional in-batch pre-dedup shuffle (backfill path) must land on
+    the same final state as the default single-shuffle merge."""
+    engine_d = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "table"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        num_buckets=8,
+        in_batch_prededup=True,
+    )
+    for epoch in range(CFG.n_epochs):
+        engine_d.apply_epoch(epoch_slice(binlog, CFG, epoch), epoch)
+    diff = cogroup_reconcile(replayed.read_final(), engine_d.read_final(), key="url")
+    assert diff.count() == 0
+
+
 def test_lineage_accounting(replayed):
     lin = replayed.ckpt.lineage()
     assert set(lin["epoch"].unique()) == set(range(CFG.n_epochs))
