@@ -1,8 +1,9 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
 * ``brute_topk`` — exact cosine top-k: one scan, vectorized JVM
-  expressions (zip_with/aggregate), TopK via row_number. The baseline and
-  the oracle.
+  expressions (zip_with/aggregate), TopK via orderBy+limit
+  (TakeOrderedAndProject — per-partition heaps, no global shuffle). The
+  baseline and the oracle.
 * ``lsh_topk`` — the scale path: random-hyperplane LSH (deterministic,
   seed-derived hyperplanes) buckets vectors by sign bits; candidates are
   the query's bucket in each of ``n_tables`` hash tables, then exact
@@ -40,6 +41,19 @@ def hyperplane_sql(t: int, j: int, i: str | int) -> str:
     )
 
 
+def _topk_ranked(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Top-k of (id, cos) with a dense ``rank`` column, planned as
+    TakeOrderedAndProject: ``orderBy().limit(k)`` runs a per-partition
+    top-k + driver merge (no global single-partition shuffle), then the
+    rank window only ever sees the <=k survivors."""
+    topk = scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(id_col, "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def brute_topk(
     df: DataFrame,
     query_vec: Column,
@@ -53,12 +67,7 @@ def brute_topk(
         F.col(id_col),
         F.round(cosine_sim(F.col(vec_col), query_vec), 6).alias("cos"),
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, "cos", F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk_ranked(scored, id_col, k)
 
 
 def lsh_bucket_bits(vec_col: Column, table: int, n_bits: int, dim: int) -> Column:
@@ -105,9 +114,4 @@ def lsh_topk(
         F.col(id_col),
         F.round(cosine_sim(F.col(vec_col), query_vec), 6).alias("cos"),
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, "cos", F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk_ranked(scored, id_col, k)

@@ -200,19 +200,31 @@ def val_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canon_bal(df: DataFrame) -> DataFrame:
+    """Canonicalize the decimal column for the driver's value-hash compare:
+    Spark surfaces decimal(12,2) as Decimal('-144.80') while DuckDB's
+    result API yields float -144.8, so raw-row queries render it as a
+    string (identical '-144.80' on both engines)."""
+    return df.withColumn("c_acctbal", F.col("c_acctbal").cast("string"))
+
+
 def val_only_in_old(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_validation_spark.operators.validation import only_in_old
 
-    return only_in_old(
-        old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+    return _canon_bal(
+        only_in_old(
+            old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+        )
     )
 
 
 def val_only_in_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_validation_spark.operators.validation import only_in_new
 
-    return only_in_new(
-        old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+    return _canon_bal(
+        only_in_new(
+            old_customers(spark, sf_dir), new_customers(spark, sf_dir), _val_cfg(spark, sf_dir)
+        )
     )
 
 
@@ -227,7 +239,7 @@ def val_cell_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def val_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_migration_validation_spark.operators.validation import duplicate_rows
 
-    return duplicate_rows(new_customers(spark, sf_dir), "c_custkey")
+    return _canon_bal(duplicate_rows(new_customers(spark, sf_dir), "c_custkey"))
 
 
 def val_rekeys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,12 +363,14 @@ SELECT * FROM (
 )
 """,
     "val_only_in_old": f"""{SNAPSHOT_CTES}
-SELECT * FROM old_snap
+SELECT c_custkey, c_name, c_nationkey, CAST(c_acctbal AS VARCHAR) AS c_acctbal, c_mktsegment
+FROM old_snap
 WHERE c_custkey NOT IN (SELECT c_custkey FROM new_snap)
   AND NOT {ALLOWED_DELETIONS_SQL}
 """,
     "val_only_in_new": f"""{SNAPSHOT_CTES}
-SELECT * FROM new_snap
+SELECT c_custkey, c_name, c_nationkey, CAST(c_acctbal AS VARCHAR) AS c_acctbal, c_mktsegment
+FROM new_snap
 WHERE c_custkey NOT IN (SELECT c_custkey FROM old_snap)
   AND NOT {ALLOWED_ADDITIONS_SQL}
 """,
@@ -378,7 +392,8 @@ SELECT c_custkey, 'c_mktsegment', CAST(o_seg AS VARCHAR), CAST(n_seg AS VARCHAR)
 FROM joined WHERE o_seg IS DISTINCT FROM n_seg
 """,
     "val_duplicates": f"""{SNAPSHOT_CTES}
-SELECT * FROM new_snap
+SELECT c_custkey, c_name, c_nationkey, CAST(c_acctbal AS VARCHAR) AS c_acctbal, c_mktsegment
+FROM new_snap
 QUALIFY count(*) OVER (PARTITION BY c_custkey) > 1
 """,
     "val_rekeys": f"""{SNAPSHOT_CTES}
