@@ -162,3 +162,46 @@ def simhash32_sql(hashes_expr: str) -> str:
 def hamming32(a: Column, b: Column) -> Column:
     """Hamming distance between two 32-bit simhashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# -- SimHash (64-bit, segmented) ------------------------------------------------------
+#
+# Scale-grade blocking needs a bucket space far larger than the 4x256
+# buckets 1-byte blocks of a 32-bit signature give (at 1e9 docs a 1,024-
+# bucket scheme puts ~1e6 rows in every bucket and the pair join
+# explodes). The 64-bit signature is held as 4 independent 16-bit
+# SEGMENTS — segment s is a 16-bit simhash over the s-th universal-hash
+# permutation of the shingle hashes — giving 4 x 65,536 = 262,144 blocks,
+# and exact-match-on-a-segment recall is guaranteed for hamming <= 3
+# (pigeonhole over 4 segments) and probabilistic at 4. Segments avoid
+# signed-64-bit overflow entirely (each value < 2^16), and the permuted
+# products stay < P^2 < 2^63 on both engines.
+
+SIMHASH_SEGS = 4
+SIMHASH_SEG_BITS = 16
+
+
+def simhash_seg_params(n_segs: int = SIMHASH_SEGS) -> list[tuple[int, int]]:
+    """Per-segment universal-hash permutation constants (a_s odd, mod P)."""
+    return [
+        ((2 * s + 3) * _A_MULT % P or 1, (s * _B_MULT + 101) % P)
+        for s in range(n_segs)
+    ]
+
+
+def simhash_segments_sql(
+    hashes_expr: str,
+    n_segs: int = SIMHASH_SEGS,
+    seg_bits: int = SIMHASH_SEG_BITS,
+) -> str:
+    """DuckDB twin of simhash_segments (a list of n_segs BIGINTs)."""
+    segs = []
+    for a, c in simhash_seg_params(n_segs):
+        bits = ", ".join(
+            f"CASE WHEN list_sum([(((({a}*h + {c}) % {P}) >> {b}) & 1)*2 - 1 "
+            f"for h in ({hashes_expr})]) > 0 "
+            f"THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for b in range(seg_bits)
+        )
+        segs.append(f"CAST(list_sum([{bits}]) AS BIGINT)")
+    return "[" + ", ".join(segs) + "]"

@@ -39,11 +39,18 @@ INLINE_MAX_ROWS = 5000  # src/validate.py:47
 
 @dataclass(frozen=True)
 class ValidationConfig:
+    """Allowlists are DataFrames (one key column) so they stay distributed:
+    every consumer broadcast-joins them — no ``.collect()`` of allowlist
+    keys ever reaches the driver or the plan as a literal IN-list (at web
+    scale the allowlist grows with the data; a materialized set is a
+    driver-OOM and a megabyte-scale plan literal). Small literal sets
+    (e.g. CLI args) are still accepted and converted once."""
+
     primary_key: str
     required_fields: Sequence[str] = ()
     compare_columns: Sequence[str] | None = None  # None → shared non-key cols
-    allowed_deletions: frozenset[str] = frozenset()
-    allowed_additions: frozenset[str] = frozenset()
+    allowed_deletions: DataFrame | frozenset | None = None
+    allowed_additions: DataFrame | frozenset | None = None
     empty_string_is_null: bool = False  # JS semantics when True (script.js:234)
 
 
@@ -61,6 +68,20 @@ def _allow_df(spark: SparkSession, keys: Iterable, pk: str) -> DataFrame:
     return spark.createDataFrame([(k,) for k in keys], f"{pk} {ktype}")
 
 
+def allowlist_df(
+    spark: SparkSession, allow: DataFrame | Iterable | None, pk: str
+) -> DataFrame | None:
+    """Normalize an allowlist (DataFrame or small literal set) to a
+    distinct single-column DataFrame named ``pk``; None when empty."""
+    if allow is None:
+        return None
+    if isinstance(allow, DataFrame):
+        return allow.select(F.col(allow.columns[0]).alias(pk)).distinct()
+    if not allow:
+        return None
+    return _allow_df(spark, allow, pk)
+
+
 def _null_pred(c: Column, empty_is_null: bool) -> Column:
     return (c.isNull() | (F.trim(c.cast("string")) == "")) if empty_is_null else c.isNull()
 
@@ -69,13 +90,22 @@ def _null_pred(c: Column, empty_is_null: bool) -> Column:
 
 def row_counts(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> DataFrame:
     """(dataset, raw_count, allowlisted_ids, adjusted_count) — one
-    aggregation pass per side; allowlist membership via isin (tiny set,
-    Catalyst folds it to an InSet predicate)."""
+    aggregation pass per side; allowlist membership via a broadcast left
+    join against the (distinct-keyed) allowlist DataFrame, so the
+    allowlist never materializes on the driver or in the plan."""
     spark = old.sparkSession
     pk = cfg.primary_key
 
-    def side(df: DataFrame, name: str, allow: frozenset[str]) -> DataFrame:
-        in_allow = F.col(pk).isin(list(allow)) if allow else F.lit(False)
+    def side(df: DataFrame, name: str, allow) -> DataFrame:
+        allow = allowlist_df(spark, allow, pk)
+        if allow is not None:
+            marker = allow.select(
+                F.col(pk).alias("_allow_pk"), F.lit(True).alias("_allowed")
+            )
+            df = df.join(F.broadcast(marker), F.col(pk) == F.col("_allow_pk"), "left")
+            in_allow = F.col("_allowed").isNotNull()
+        else:
+            in_allow = F.lit(False)
         return df.agg(
             F.lit(name).alias("dataset"),
             F.count("*").alias("raw_count"),
@@ -168,8 +198,8 @@ def only_in_old(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> DataFr
     two left-anti joins; the allowlist side is broadcast."""
     pk = cfg.primary_key
     out = old.join(new.select(pk).distinct(), pk, "left_anti")
-    if cfg.allowed_deletions:
-        allow = _allow_df(old.sparkSession, cfg.allowed_deletions, pk)
+    allow = allowlist_df(old.sparkSession, cfg.allowed_deletions, pk)
+    if allow is not None:
         out = out.join(F.broadcast(allow), pk, "left_anti")
     return out
 
@@ -177,8 +207,8 @@ def only_in_old(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> DataFr
 def only_in_new(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> DataFrame:
     pk = cfg.primary_key
     out = new.join(old.select(pk).distinct(), pk, "left_anti")
-    if cfg.allowed_additions:
-        allow = _allow_df(new.sparkSession, cfg.allowed_additions, pk)
+    allow = allowlist_df(new.sparkSession, cfg.allowed_additions, pk)
+    if allow is not None:
         out = out.join(F.broadcast(allow), pk, "left_anti")
     return out
 

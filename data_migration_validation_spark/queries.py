@@ -11,6 +11,8 @@ byte-identical text extraction, against an independent engine.
 
 from __future__ import annotations
 
+import atexit
+import os
 import shutil
 import tempfile
 
@@ -21,6 +23,21 @@ from pyspark.sql.window import Window
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — driver-side metadata only, no
+    Spark job (a count() over the scan would schedule a full-table pass
+    just to size epochs)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
+            for fn in os.listdir(path)
+            if fn.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 # ---------------------------------------------------------------------------
@@ -39,7 +56,7 @@ def doc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     nv = d % 3 + 1
-    n_docs = docs.count()
+    n_docs = _parquet_rows(f"{sf_dir}/documents.parquet")
     events_per_epoch = max(1, (3 * n_docs) // N_EPOCHS + 1)
     exploded = docs.select(
         "doc_id", "text", "lang", "source", F.explode(F.sequence(F.lit(0), nv - 1)).alias("v")
@@ -83,29 +100,37 @@ def doc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay doc_changes through the apply engine into a temp lake table;
-    return the final live rows (url, warc_ts, seq, lang, text)."""
+    return the final live rows (url, warc_ts, seq, lang, text).
+
+    The returned DataFrame reads from a session-scoped parquet snapshot
+    (cleaned at interpreter exit) — the result never flows through the
+    driver (a ``toPandas()`` here would collect the whole table, which at
+    scale is a driver OOM, not a query result)."""
     from data_migration_validation_spark.plans.apply import CDCApplyEngine
 
     changes = doc_changes(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="dmv-cdc-")
-    try:
-        changes.write.mode("overwrite").parquet(f"{tmp}/log")
-        log = spark.read.parquet(f"{tmp}/log")
-        n_epochs = log.agg(F.max("batch_epoch")).collect()[0][0] + 1
-        engine = CDCApplyEngine(
-            spark,
-            table_path=f"{tmp}/table",
-            checkpoint_path=f"{tmp}/ckpt",
-            num_buckets=16,
-        )
-        for epoch in range(int(n_epochs)):
-            engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
-        final = engine.read_final().select("url", "warc_ts", "seq", "lang", "text")
-        # materialize before the temp lake dir is deleted
-        out = spark.createDataFrame(final.toPandas(), schema=final.schema)
-        return out
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    changes.write.mode("overwrite").parquet(f"{tmp}/log")
+    log = spark.read.parquet(f"{tmp}/log")
+    n_epochs = log.agg(F.max("batch_epoch")).collect()[0][0] + 1
+    engine = CDCApplyEngine(
+        spark,
+        table_path=f"{tmp}/table",
+        checkpoint_path=f"{tmp}/ckpt",
+        num_buckets=16,
+    )
+    for epoch in range(int(n_epochs)):
+        engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
+    final = engine.read_final().select("url", "warc_ts", "seq", "lang", "text")
+    final.write.mode("overwrite").parquet(f"{tmp}/final")
+    out = spark.read.parquet(f"{tmp}/final")
+    # the binlog and the working lake table are no longer needed; only the
+    # final snapshot backs the returned DataFrame until exit
+    shutil.rmtree(f"{tmp}/log", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/table", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
 
 
 def cdc_final_state_oracle() -> str:

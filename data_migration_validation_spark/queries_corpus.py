@@ -92,7 +92,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EXACT_SQL = f"""{CORPUS_CTE}
 SELECT min_id AS canonical_id, doc_id AS dup_id FROM (
-  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS min_id FROM corpus
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS min_id FROM corpus
 ) WHERE doc_id <> min_id
 """
 
@@ -123,19 +123,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SEGS = H.SIMHASH_SEGS
 DEDUP_SIMHASH_SQL = f"""{_HASH_CTES},
-sv AS (SELECT doc_id, {H.simhash32_sql('hashes')} AS simhash FROM hs),
+sv AS (SELECT doc_id, {H.simhash_segments_sql('hashes')} AS segs FROM hs),
 blocked AS (
-  SELECT doc_id, simhash, byte_id, (simhash >> (8*byte_id)) & 255 AS byte_val
-  FROM sv, (SELECT unnest(range(4)) AS byte_id)
+  SELECT doc_id, segs, seg_id, segs[seg_id + 1] AS seg_val
+  FROM sv, (SELECT unnest(range({_N_SEGS})) AS seg_id)
 ),
 pairs AS (
-  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb
-  FROM blocked l JOIN blocked r USING (byte_id, byte_val)
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.segs AS sa, r.segs AS sb
+  FROM blocked l JOIN blocked r USING (seg_id, seg_val)
   WHERE l.doc_id < r.doc_id
 )
-SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-FROM pairs WHERE bit_count(xor(sa, sb)) <= {HAMMING_T}
+SELECT a, b,
+       CAST(list_sum([bit_count(xor(sa[i], sb[i])) for i in range(1, {_N_SEGS}+1)]) AS INT) AS hamming
+FROM pairs
+WHERE list_sum([bit_count(xor(sa[i], sb[i])) for i in range(1, {_N_SEGS}+1)]) <= {HAMMING_T}
 """
 
 

@@ -110,21 +110,19 @@ ALLOWED_DELETIONS_SQL = "(c_custkey % 97 = 3 AND c_custkey % 2 = 1)"
 ALLOWED_ADDITIONS_SQL = "(c_custkey >= 1000000 AND c_custkey < 2000000 AND c_custkey % 2 = 1)"
 
 
-def allowed_deletions(spark: SparkSession, sf_dir: str) -> frozenset[int]:
-    rows = (
+def allowed_deletions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allowlist as a DataFrame — consumers broadcast-join it; the key set
+    scales with the data, so it must never be collected to the driver."""
+    return (
         old_customers(spark, sf_dir)
         .where("c_custkey % 97 = 3 AND c_custkey % 2 = 1")
         .select("c_custkey")
-        .collect()
     )
-    return frozenset(r[0] for r in rows)
 
 
-def allowed_additions(spark: SparkSession, sf_dir: str) -> frozenset[int]:
-    rows = (
+def allowed_additions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         new_customers(spark, sf_dir)
         .where("c_custkey >= 1000000 AND c_custkey < 2000000 AND c_custkey % 2 = 1")
         .select("c_custkey")
-        .collect()
     )
-    return frozenset(r[0] for r in rows)
