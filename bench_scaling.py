@@ -209,8 +209,10 @@ def main() -> None:
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(efficiency, 3),
             "target": 0.8,
-            "pass": efficiency >= 0.8,
         }
+        # a cross-parallelism state divergence is a correctness failure,
+        # not a perf number — it must fail the benchmark
+        out["pass"] = bool(efficiency >= 0.8 and out["final_rows_match"])
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

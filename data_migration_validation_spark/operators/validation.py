@@ -348,17 +348,25 @@ def apply_signoff(
     # share lineage (both derived from the same scan), and positional
     # references like findings[pk] == v[pk] then collapse to a trivially
     # true predicate
-    v = (
-        verified_pairs.select(
+    if "_ver_col" in verified_pairs.columns:
+        v = verified_pairs.select(
             F.col(pk).alias("_ver_pk"), F.col("_ver_col"), F.lit(True).alias("_verified")
         )
-        if "_ver_col" in verified_pairs.columns
-        else verified_pairs.select(
-            F.col(verified_pairs.columns[0]).alias("_ver_pk"),
-            F.col(verified_pairs.columns[1]).alias("_ver_col"),
+    else:
+        if pk not in verified_pairs.columns:
+            raise ValueError(
+                f"sign-off overlay must carry the primary key column {pk!r} "
+                f"(got columns {verified_pairs.columns}); positional guessing "
+                "would silently mis-join"
+            )
+        others = [c for c in verified_pairs.columns if c != pk]
+        if not others:
+            raise ValueError("sign-off overlay needs a column-name column besides the pk")
+        v = verified_pairs.select(
+            F.col(pk).alias("_ver_pk"),
+            F.lower(F.col(others[0]).cast("string")).alias("_ver_col"),
             F.lit(True).alias("_verified"),
         )
-    )
     return (
         findings.join(
             F.broadcast(v),
@@ -369,6 +377,61 @@ def apply_signoff(
         .drop("_ver_pk", "_ver_col")
         .withColumn("verified", F.coalesce(F.col("_verified"), F.lit(False)))
         .drop("_verified")
+    )
+
+
+def load_verification(
+    spark: SparkSession, src: str | dict, pk: str
+) -> tuple[DataFrame | None, dict]:
+    """Parse the reference's ``verification.json`` sign-off overlay
+    (src/validate.py:21-32, verification.json:1-11) into
+    ``(verified_pairs_df, checks)``: the mismatch sign-offs as a
+    (pk, _ver_col) DataFrame for :func:`apply_signoff`, and the
+    check-level sign-off dict for :func:`annotate_check_signoff`."""
+    import json as _json
+
+    if isinstance(src, dict):
+        data = src
+    else:
+        with open(src, encoding="utf-8") as f:
+            data = _json.load(f)
+    rows = [
+        (str(r.get(pk, r.get("customer_id"))), str(r.get("column", "")).lower())
+        for r in data.get("mismatches", [])
+        if r.get("verified")
+    ]
+    pairs = (
+        spark.createDataFrame(rows, f"{pk} string, _ver_col string") if rows else None
+    )
+    return pairs, data.get("checks", {})
+
+
+def annotate_check_signoff(summary: DataFrame, checks: dict) -> DataFrame:
+    """Annotate (check, status, notes) summary rows with the manual
+    check-level sign-off (verified / verified_by / verified_at) — the
+    reference's acceptance workflow where a human marks a whole check as
+    reviewed (src/validate.py:26-28)."""
+    spark = summary.sparkSession
+    rows = [
+        (name, bool(v.get("verified", False)), str(v.get("by", "")), str(v.get("at", "")))
+        for name, v in (checks or {}).items()
+    ]
+    if not rows:
+        return summary.select(
+            "*",
+            F.lit(False).alias("verified"),
+            F.lit("").alias("verified_by"),
+            F.lit("").alias("verified_at"),
+        )
+    overlay = spark.createDataFrame(
+        rows, "_check string, verified boolean, verified_by string, verified_at string"
+    )
+    return (
+        summary.join(F.broadcast(overlay), summary["check"] == overlay["_check"], "left")
+        .drop("_check")
+        .withColumn("verified", F.coalesce(F.col("verified"), F.lit(False)))
+        .withColumn("verified_by", F.coalesce(F.col("verified_by"), F.lit("")))
+        .withColumn("verified_at", F.coalesce(F.col("verified_at"), F.lit("")))
     )
 
 
@@ -386,8 +449,17 @@ def proof(
 
 # -- O14: check summary -------------------------------------------------------------------------------
 
-def check_summary(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> DataFrame:
-    """(check, status, notes) — the reference's PASS/WARN/FAIL pill rows.
+def check_summary(
+    old: DataFrame,
+    new: DataFrame,
+    cfg: ValidationConfig,
+    format_rules: dict[str, str] | None = None,
+) -> DataFrame:
+    """(check, status, notes) — the reference's PASS/WARN/FAIL pill rows,
+    including the value-mismatch count (docs/script.js:355-370 summarizes
+    mismatches) and, when ``format_rules`` is given, one row per format
+    check on the NEW dataset (docs/script.js:273-306; incl. the JS-only
+    "Balance type and format" flavor, sample-report.html:69-72).
     Aggregates tiny summaries driver-side (each input is a count)."""
     spark = old.sparkSession
     pk = cfg.primary_key
@@ -407,6 +479,7 @@ def check_summary(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> Data
 
     miss = only_in_old(old, new, cfg).count()
     extra = only_in_new(old, new, cfg).count()
+    n_mismatch = cell_mismatches(old, new, cfg).count()
 
     rows = [
         (
@@ -430,5 +503,27 @@ def check_summary(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> Data
             "PASS" if miss == 0 and extra == 0 else "FAIL",
             f"Only in old={miss}, only in new={extra}",
         ),
+        (
+            "Value mismatches",
+            "PASS" if n_mismatch == 0 else "WARN",
+            f"count={n_mismatch}",
+        ),
     ]
+    if format_rules:
+        counts = {
+            r["column"]: r["n"]
+            for r in format_violations(new, pk, format_rules)
+            .groupBy("column")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for col, rule in format_rules.items():
+            n = int(counts.get(col, 0))
+            rows.append(
+                (
+                    f"Format: {col} ({rule})",
+                    "PASS" if n == 0 else "WARN",
+                    f"violations={n}",
+                )
+            )
     return spark.createDataFrame(rows, "check string, status string, notes string")

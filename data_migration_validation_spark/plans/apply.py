@@ -59,7 +59,9 @@ class ApplyStats:
     epoch: int
     skipped: bool
     events_seen: int = 0
-    merged_rows: int = 0  # rows written across touched buckets (from footers)
+    # rows written across touched buckets (from parquet footers);
+    # None = footers unreadable (unknown), never a sentinel count
+    merged_rows: int | None = 0
     buckets_touched: int = 0
     seconds: float = 0.0
 
@@ -102,6 +104,15 @@ class CDCApplyEngine:
         epoch: int,
         crash_after_commit: bool = False,
     ) -> ApplyStats:
+        """Apply one epoch's events to the lake table.
+
+        Determinism contract: ``events`` is evaluated TWICE (the lineage
+        pre-scan and the merge plan) and must produce the same rows both
+        times — no non-deterministic expressions (rand, monotonically_
+        increasing_id), no sampling, no source directory mutated
+        mid-epoch. A violation would put rows in buckets outside the
+        declared touched set; ``LakeTable.commit`` fails such commits
+        rather than silently double-registering state."""
         t0 = time.monotonic()
         if epoch in self.lake.epochs_applied():
             return ApplyStats(epoch=epoch, skipped=True)
@@ -199,14 +210,17 @@ class CDCApplyEngine:
                 ]
             )
             dt = time.monotonic() - t0
-            self.ckpt.append_metrics(
-                [
-                    {"epoch": epoch, "stage": "apply", "metric": "applied_events", "value": float(n_events)},
+            metrics = [
+                {"epoch": epoch, "stage": "apply", "metric": "applied_events", "value": float(n_events)},
+                {"epoch": epoch, "stage": "apply", "metric": "buckets_touched", "value": float(len(touched))},
+                {"epoch": epoch, "stage": "apply", "metric": "seconds", "value": dt},
+            ]
+            if merged_rows is not None:  # omit when footers were unreadable
+                metrics.insert(
+                    1,
                     {"epoch": epoch, "stage": "apply", "metric": "merged_rows", "value": float(merged_rows)},
-                    {"epoch": epoch, "stage": "apply", "metric": "buckets_touched", "value": float(len(touched))},
-                    {"epoch": epoch, "stage": "apply", "metric": "seconds", "value": dt},
-                ]
-            )
+                )
+            self.ckpt.append_metrics(metrics)
         if crash_after_commit:
             raise RuntimeError("injected crash between commit and checkpoint")
         self.ckpt.write_epoch(epoch)
@@ -215,7 +229,7 @@ class CDCApplyEngine:
             epoch=epoch,
             skipped=not committed,
             events_seen=int(n_events),
-            merged_rows=int(merged_rows),
+            merged_rows=None if merged_rows is None else int(merged_rows),
             buckets_touched=len(touched),
             seconds=time.monotonic() - t0,
         )

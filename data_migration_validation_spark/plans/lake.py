@@ -187,10 +187,12 @@ class LakeTable:
         carry all other buckets forward, publish the new manifest.
 
         Returns ``(committed, rows_written)``; rows come from the written
-        files' parquet footers (driver-side metadata — no counting job).
+        files' parquet footers (driver-side metadata — no counting job),
+        or ``None`` when footers are unreadable (unknown, not a count).
         ``(False, 0)`` if ``epoch`` was already applied — the idempotency
         guard that makes crash-replay exactly-once. ``new_bucket_data``
-        must contain ``_bucket`` and exactly the columns of ``schema``.
+        must contain ``_bucket`` and exactly the columns of ``schema``,
+        and must only produce rows in ``touched_buckets`` (enforced).
         """
         prev = self.current_snapshot()
         applied = set(prev.epochs) if prev else set()
@@ -224,6 +226,20 @@ class LakeTable:
             if files:
                 new_by_bucket[b] = files
 
+        # Consistency invariant: every written bucket must be in the
+        # caller's touched set. The touched set comes from a SEPARATE scan
+        # of the same input; if the input is not deterministic across the
+        # two jobs, rows can land in buckets whose old files are carried
+        # forward — silent duplicate-key state. Fail the commit instead.
+        stray = {b for b in new_by_bucket if int(b) not in touched_buckets}
+        if stray:
+            raise ValueError(
+                f"commit wrote buckets {sorted(stray)} outside the declared "
+                f"touched set {sorted(touched_buckets)} — the input DataFrame "
+                "changed between the lineage pre-scan and the merge (it must "
+                "be deterministic across re-evaluation)"
+            )
+
         schema_json = json.dumps(json.loads(schema.json()), sort_keys=True)
         file_groups: dict[str, dict[str, list[str]]] = {}
         if prev is not None:
@@ -238,7 +254,7 @@ class LakeTable:
             file_groups.pop(schema_json, None)
             file_groups.setdefault(schema_json, {})  # keep schema recorded
 
-        rows_written = 0
+        rows_written: int | None = 0
         try:
             import pyarrow.parquet as pq
 
@@ -246,7 +262,8 @@ class LakeTable:
                 for fp in files:
                     rows_written += pq.ParquetFile(fp).metadata.num_rows
         except Exception:
-            rows_written = -1  # footer stats unavailable; not fatal
+            rows_written = None  # footer stats unavailable; not fatal —
+            # callers must treat None as "unknown", never as a count
 
         manifest = {
             "version": version,

@@ -500,8 +500,18 @@ m AS (
 SELECT * FROM m ORDER BY c_custkey, "column" LIMIT 100
 """,
     "val_check_summary": f"""{SNAPSHOT_CTES},
+mj AS (
+  SELECT o.c_custkey,
+         o.c_name AS o_name, n.c_name AS n_name,
+         o.c_acctbal AS o_bal, n.c_acctbal AS n_bal,
+         o.c_mktsegment AS o_seg, n.c_mktsegment AS n_seg
+  FROM old_snap o JOIN new_snap n USING (c_custkey)
+),
 agg AS (
   SELECT
+    (SELECT (SELECT count(*) FROM mj WHERE o_name IS DISTINCT FROM n_name)
+           + (SELECT count(*) FROM mj WHERE o_bal IS DISTINCT FROM n_bal)
+           + (SELECT count(*) FROM mj WHERE o_seg IS DISTINCT FROM n_seg)) AS mm,
     (SELECT count(*) FROM old_snap) AS old_raw,
     (SELECT count(*) FROM old_snap WHERE {ALLOWED_DELETIONS_SQL}) AS old_allow,
     (SELECT count(*) FROM new_snap) AS new_raw,
@@ -538,6 +548,11 @@ UNION ALL
 SELECT 'Missing/extra keys',
        CASE WHEN miss = 0 AND extra = 0 THEN 'PASS' ELSE 'FAIL' END,
        'Only in old=' || miss || ', only in new=' || extra
+FROM agg
+UNION ALL
+SELECT 'Value mismatches',
+       CASE WHEN mm = 0 THEN 'PASS' ELSE 'WARN' END,
+       'count=' || mm
 FROM agg
 """,
     "reconcile_cogroup": f"""{SNAPSHOT_CTES},

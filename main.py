@@ -68,8 +68,14 @@ def cmd_apply(args: argparse.Namespace) -> int:
         key_col=args.key,
         num_buckets=args.buckets,
         use_pandas_lww=args.pandas_lww,
+        in_batch_prededup=args.prededup,
     )
     lo, hi = log.agg(F.min("batch_epoch"), F.max("batch_epoch")).collect()[0]
+    if lo is None:
+        # empty binlog: nothing to apply, report and succeed
+        final = engine.read_final()
+        print(json.dumps({"command": "apply", "final_rows": final.count() if final is not None else 0}))
+        return 0
     last = engine.ckpt.last_epoch()
     # resume hint: skip strictly below the checkpointed epoch; the
     # checkpointed epoch itself is re-offered and the lake's idempotency
@@ -156,22 +162,54 @@ def cmd_validate(args: argparse.Namespace) -> int:
             .csv(os.path.join(args.out, name))
         )
 
+    # optional manual sign-off overlay (reference verification.json,
+    # src/validate.py:21-32): mismatch-level pairs + check-level sign-offs
+    ver_pairs, ver_checks = (None, {})
+    if args.verification:
+        ver_pairs, ver_checks = V.load_verification(spark, args.verification, args.pk)
+
+    # optional format/type rules: col=rule pairs (rule from VALIDATOR_RULES)
+    format_rules: dict[str, str] = {}
+    for spec in args.format_rules or []:
+        col, _, rule = spec.partition("=")
+        if not rule or rule not in V.VALIDATOR_RULES:
+            raise SystemExit(
+                f"--format-rules entry {spec!r} must be col=rule with rule in "
+                f"{sorted(V.VALIDATOR_RULES)}"
+            )
+        format_rules[col] = rule
+
     sink(V.row_counts(old, new, cfg), "row_counts")
     sink(V.duplicate_rows(old, args.pk), "duplicates_old", order=args.pk)
     sink(V.duplicate_rows(new, args.pk), "duplicates_new", order=args.pk)
     sink(V.null_summary(old, new, cfg), "nulls_summary")
     sink(V.schema_comparison(old, new), "schema_comparison")
-    sink(V.only_in_old(old, new, cfg), "only_in_old", order=args.pk)
-    sink(V.only_in_new(old, new, cfg), "only_in_new", order=args.pk)
+    oio = V.only_in_old(old, new, cfg)
+    oin = V.only_in_new(old, new, cfg)
+    sink(oio, "only_in_old", order=args.pk)
+    sink(oin, "only_in_new", order=args.pk)
+    # legacy artifact names for compatibility (src/validate.py:138-139)
+    sink(oio, "missing_in_new", order=args.pk)
+    sink(oin, "extra_in_new", order=args.pk)
     mism = V.cell_mismatches(old, new, cfg)
+    if ver_pairs is not None:
+        mism = V.apply_signoff(mism, ver_pairs, args.pk)
     sink(mism, "mismatches", order=[args.pk, "column"])
+    if format_rules:
+        sink(
+            V.format_violations(new, args.pk, format_rules),
+            "format_violations",
+            order=[args.pk, "column"],
+        )
     if args.rekey_attr:
         sink(
             V.possible_rekeys(old, new, cfg, attr=args.rekey_attr),
             "possible_rekeys",
             order=args.rekey_attr,
         )
-    summary = V.check_summary(old, new, cfg)
+    summary = V.check_summary(old, new, cfg, format_rules=format_rules or None)
+    if args.verification:
+        summary = V.annotate_check_signoff(summary, ver_checks)
     sink(summary, "checks")
     rows = summary.collect()
     print(
@@ -183,7 +221,10 @@ def cmd_validate(args: argparse.Namespace) -> int:
             }
         )
     )
-    return 0 if all(r["status"] == "PASS" for r in rows) else 1
+    # FAIL rows break the run; WARN rows (mismatches/format findings that
+    # a human reviews or signs off) do not — matching the reference's
+    # report, where the golden sample shows 48 mismatches yet passes.
+    return 0 if all(r["status"] != "FAIL" for r in rows) else 1
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -208,6 +249,12 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--key", default="url")
     a.add_argument("--buckets", type=int, default=64)
     a.add_argument("--pandas-lww", action="store_true")
+    a.add_argument(
+        "--prededup",
+        action="store_true",
+        help="LWW-reduce each batch before text extraction and the merge "
+        "(worth it for backfill/replay batches with many versions per key)",
+    )
     a.add_argument("--no-resume", action="store_true")
     a.set_defaults(fn=cmd_apply)
 
@@ -230,6 +277,19 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--allow-added", nargs="*", default=[])
     v.add_argument("--rekey-attr", default="")
     v.add_argument("--empty-is-null", action="store_true")
+    v.add_argument(
+        "--verification",
+        default="",
+        help="verification.json sign-off overlay: annotates mismatches and "
+        "checks with verified/by/at (reference src/validate.py:21-32)",
+    )
+    v.add_argument(
+        "--format-rules",
+        nargs="*",
+        default=[],
+        help="format/type checks as col=rule (email_format, date_format, "
+        "numeric, non_negative_number), run on the NEW dataset",
+    )
     v.set_defaults(fn=cmd_validate)
     return p
 

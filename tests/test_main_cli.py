@@ -52,6 +52,9 @@ def test_validate_cli_reference_goldens(spark, tmp_path):
             "--allow-deleted", "C100105", "C100521", "C100683", "C100690", "C100717",
             "--allow-added", "NEW0", "NEW1", "NEW2",
             "--rekey-attr", "email",
+            "--verification", f"{REF}/verification.json",
+            "--format-rules", "email=email_format", "dob=date_format",
+            "balance=non_negative_number",
         ]
     )
     # row-count check FAILs in the reference report? No: adjusted counts
@@ -70,8 +73,23 @@ def test_validate_cli_reference_goldens(spark, tmp_path):
     want = set(map(tuple, golden[["customer_id", "column", "old_value", "new_value"]].values))
     assert got == want
 
-    for empty in ["only_in_old", "only_in_new", "duplicates_old", "duplicates_new"]:
+    # sign-off overlay annotates the artifact (no golden finding is among
+    # the verification.json pairs, so all rows stay unverified)
+    assert "verified" in mism.columns
+    assert (mism["verified"] == "false").all()
+
+    for empty in [
+        "only_in_old", "only_in_new", "duplicates_old", "duplicates_new",
+        "missing_in_new", "extra_in_new", "format_violations",
+    ]:
         assert len(_read_csv_dir(os.path.join(out, empty))) == 0
+
+    checks = _read_csv_dir(os.path.join(out, "checks"))
+    by_check = {r["check"]: r for _, r in checks.iterrows()}
+    assert by_check["Value mismatches"]["status"] == "WARN"
+    assert by_check["Format: email (email_format)"]["status"] == "PASS"
+    assert by_check["Row count match"]["verified"] == "true"
+    assert by_check["Row count match"]["verified_by"] == "Mohan"
 
 
 def test_generate_apply_reconcile_roundtrip(spark, tmp_path):

@@ -131,13 +131,58 @@ def test_format_validators_on_golden_data(tables):
 
 def test_check_summary_golden(tables):
     old, new = tables
-    rows = {r["check"]: r["status"] for r in check_summary(old, new, CFG).collect()}
+    got = {r["check"]: r for r in check_summary(
+        old, new, CFG,
+        format_rules={"email": "email_format", "dob": "date_format",
+                      "balance": "non_negative_number"},
+    ).collect()}
+    rows = {k: r["status"] for k, r in got.items()}
     assert rows == {
         "Row count match": "PASS",
         "Primary key duplicates": "PASS",
         "Nulls in required fields": "PASS",
         "Missing/extra keys": "PASS",
+        "Value mismatches": "WARN",  # the 48 seeded mismatches
+        "Format: email (email_format)": "PASS",
+        "Format: dob (date_format)": "PASS",
+        "Format: balance (non_negative_number)": "PASS",
     }
+    assert got["Value mismatches"]["notes"] == "count=48"
+
+
+def test_signoff_overlay_reproduces_verification_json(spark, tables):
+    """The acceptance workflow end-to-end: load the reference's own
+    verification.json, annotate findings and checks with it
+    (src/validate.py:21-32 semantics)."""
+    from data_migration_validation_spark.operators.validation import (
+        annotate_check_signoff,
+        apply_signoff,
+        load_verification,
+    )
+
+    old, new = tables
+    pairs, checks = load_verification(spark, f"{REF}/verification.json", CFG.primary_key)
+    # the json signs off (C100123,email) and (C100456,name)
+    assert pairs is not None and sorted(tuple(r) for r in pairs.collect()) == [
+        ("C100123", "email"), ("C100456", "name"),
+    ]
+    findings = apply_signoff(cell_mismatches(old, new, CFG), pairs, CFG.primary_key)
+    # neither signed-off pair is among the 48 actual findings on the
+    # sample data, so the overlay marks nothing verified here...
+    assert findings.where("verified").count() == 0
+    assert findings.count() == 48
+    # ...but a sign-off naming a real finding flips exactly that row
+    live = spark.createDataFrame([("C100033", "name")], "customer_id string, _ver_col string")
+    annotated = apply_signoff(cell_mismatches(old, new, CFG), live, CFG.primary_key)
+    ver = annotated.where("verified").collect()
+    assert [(r["customer_id"], r["column"]) for r in ver] == [("C100033", "name")]
+
+    summary = annotate_check_signoff(check_summary(old, new, CFG), checks)
+    by_check = {r["check"]: r for r in summary.collect()}
+    for name in ["Row count match", "Primary key duplicates", "Nulls in required fields"]:
+        assert by_check[name]["verified"] is True
+        assert by_check[name]["verified_by"] == "Mohan"
+    assert by_check["Missing/extra keys"]["verified"] is False
 
 
 def test_proof_cap(tables):
