@@ -13,16 +13,19 @@ Per epoch (SURVEY.md §3 engine lifecycle):
    on this batch's events only (state rows never re-cross Python);
 4. **schema merge** — incoming schema merged into the registry (additive
    columns, widening) — the durable registry IS the lake snapshot schema;
-5. **bucket-pruned single-shuffle MERGE** — read ONLY the state buckets
-   the batch touches (manifest-level pruning), union events with state,
-   and take the LWW winner per key ((warc_ts, seq) desc) in ONE window
-   keyed on the bucket: in-batch dedup and the upsert against state
-   happen in the same shuffle, and that shuffle IS the write
-   partitioning. Out-of-order older events cannot overwrite newer state.
-   Tombstones (op='D') are kept as deleted=true rows so a late old
-   update cannot resurrect a deleted key. The salted applyInPandas LWW
-   (north-star operator, robust to a single hot KEY) is the optional
-   pre-reduction path (use_pandas_lww);
+5. **single-shuffle MERGE, merge-on-read by default** — the epoch's
+   events take the LWW winner per key ((warc_ts, seq) desc) in ONE
+   window keyed on the bucket, and that shuffle IS the write
+   partitioning. In ``mor`` mode (default) the winners land as
+   per-bucket DELTA files with no state read — write volume ∝ epoch
+   size, never table size — and readers LWW-merge base+delta (deltas
+   folded into base every ``compact_every`` epochs). In ``cow`` mode the
+   touched state buckets are read (manifest-level pruning), unioned with
+   the events, and rewritten merged. Either way out-of-order older
+   events cannot overwrite newer state, and tombstones (op='D') are kept
+   as deleted=true rows so a late old update cannot resurrect a deleted
+   key. The salted applyInPandas LWW (north-star operator, robust to a
+   single hot KEY) is the optional pre-reduction path (use_pandas_lww);
 6. **atomic epoch-keyed commit** + per-partition lineage + metrics +
    checkpoint. Post-commit row counts come from the written parquet
    footers (driver-side metadata, no extra job).
@@ -77,13 +80,25 @@ class CDCApplyEngine:
         use_pandas_lww: bool = False,
         n_salts: int = 16,
         in_batch_prededup: bool = False,
+        merge_mode: str = "mor",
+        compact_every: int | None = 8,
     ):
         """``in_batch_prededup``: add a key-hash pre-shuffle that dedups the
         batch BEFORE text extraction and the merge. Worth it for backfill /
         replay batches with many versions per key in one epoch (extraction
         then runs on winners only); for a streaming tail (~1 version per key
         per epoch) the extra fat-row shuffle costs more than the duplicate
-        extraction it saves, so the default is the single-shuffle path."""
+        extraction it saves, so the default is the single-shuffle path.
+
+        ``merge_mode``: ``"mor"`` (default) commits each epoch's LWW
+        winners as per-bucket DELTA files — no state read, write volume
+        proportional to the epoch, readers merge base+delta per key;
+        ``compact_every`` epochs the deltas are folded into base files.
+        ``"cow"`` reads the touched state buckets each epoch and rewrites
+        them merged — simpler reads, but with uniformly distributed keys
+        every epoch touches every bucket, i.e. rewrites the table."""
+        if merge_mode not in ("mor", "cow"):
+            raise ValueError(f"unknown merge_mode {merge_mode!r}")
         self.spark = spark
         self.lake = LakeTable(table_path, key_col=key_col, num_buckets=num_buckets)
         self.ckpt = CheckpointStore(checkpoint_path)
@@ -91,6 +106,8 @@ class CDCApplyEngine:
         self.use_pandas_lww = use_pandas_lww
         self.in_batch_prededup = in_batch_prededup
         self.n_salts = n_salts
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every
         self.registry = SchemaRegistry()
         snap = self.lake.current_snapshot()
         if snap is not None:
@@ -173,27 +190,45 @@ class CDCApplyEngine:
             BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
         )
 
-        state = self.lake.read(self.spark, buckets=touched)
-        if state is not None and state.schema != target:
-            state = conform(state, target)
-        merged = pre
-        if state is not None:
-            merged = merged.unionByName(
-                state.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+        if self.merge_mode == "mor":
+            # 5b/6 (merge-on-read): NO state read at all. The epoch's
+            # events LWW-reduce in ONE bucket-keyed window (which is also
+            # the write partitioning) and land as per-bucket delta files —
+            # write volume ∝ epoch size, never table size. The cross-epoch
+            # merge happens at read time (and is amortized by compaction).
+            merged = lww_window_bucketed(
+                pre, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
             )
-        # 6. dedup + upsert in ONE window over the bucket shuffle (which is
-        # also the write partitioning)
-        merged = lww_window_bucketed(
-            merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
-        )
-
-        committed, merged_rows = self.lake.commit(
-            merged,
-            touched_buckets=touched,
-            epoch=epoch,
-            schema=target,
-            summary={"applied_events": n_events},
-        )
+            committed, merged_rows = self.lake.commit(
+                merged,
+                touched_buckets=touched,
+                epoch=epoch,
+                schema=target,
+                summary={"applied_events": n_events},
+                mode="delta",
+            )
+        else:
+            state = self.lake.read(self.spark, buckets=touched)
+            if state is not None and state.schema != target:
+                state = conform(state, target)
+            merged = pre
+            if state is not None:
+                merged = merged.unionByName(
+                    state.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+                )
+            # 6. dedup + upsert in ONE window over the bucket shuffle (which
+            # is also the write partitioning)
+            merged = lww_window_bucketed(
+                merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
+            )
+            committed, merged_rows = self.lake.commit(
+                merged,
+                touched_buckets=touched,
+                epoch=epoch,
+                schema=target,
+                summary={"applied_events": n_events},
+                mode="rewrite",
+            )
         commit_ts = time.time()
         if committed:
             self.ckpt.append_lineage(
@@ -224,6 +259,27 @@ class CDCApplyEngine:
         if crash_after_commit:
             raise RuntimeError("injected crash between commit and checkpoint")
         self.ckpt.write_epoch(epoch)
+
+        # periodic compaction: fold accumulated delta files into base
+        # files so read-side merge cost stays bounded
+        if (
+            committed
+            and self.merge_mode == "mor"
+            and self.compact_every
+            and (epoch + 1) % self.compact_every == 0
+        ):
+            n_compacted = self.lake.compact(self.spark)
+            if n_compacted:
+                self.ckpt.append_metrics(
+                    [
+                        {
+                            "epoch": epoch,
+                            "stage": "compact",
+                            "metric": "compacted_buckets",
+                            "value": float(n_compacted),
+                        }
+                    ]
+                )
 
         return ApplyStats(
             epoch=epoch,

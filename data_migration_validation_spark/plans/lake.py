@@ -13,10 +13,15 @@ uses. The key properties it reproduces:
   applied batch epochs (like Iceberg snapshot summary properties); a
   commit for an already-applied epoch is a no-op, which is what makes
   replay-after-crash exactly-once;
-* **bucket-level copy-on-write MERGE** — state is hash-bucketed by key;
-  a commit rewrites only the buckets touched by the batch and carries
-  every other bucket's files forward by reference. At 100 TB this is the
-  difference between rewriting gigabytes and rewriting the lake;
+* **bucket-level MERGE, merge-on-read by default** — state is
+  hash-bucketed by key. A delta commit (Iceberg-v2 style) writes ONLY the
+  epoch's rows as per-bucket delta files and carries every base file
+  forward by reference: apply cost is proportional to the epoch, not the
+  table (copy-on-write rewrites every touched bucket, and with uniform
+  keys every epoch touches every bucket — at 100 TB that rewrites the
+  lake per epoch). Readers LWW-merge base+delta per key; ``compact()``
+  folds deltas back into base files periodically. Copy-on-write commits
+  remain available (``mode="rewrite"``) and are what compaction uses;
 * **schema evolution without rewrites** — the manifest records a schema
   per file group; readers upcast old files to the current schema
   (additive columns read as null, widened types cast up), so adding a
@@ -69,37 +74,63 @@ def _atomic_write(path: str, content: str) -> None:
             os.unlink(tmp)
 
 
+def _select_files(
+    groups: dict[str, dict[str, list[str]]], buckets: set[int] | None
+) -> dict[str, list[str]]:
+    """schema_json -> file list, optionally restricted to buckets
+    (manifest-level partition pruning: untouched buckets are never even
+    listed, let alone read)."""
+    out: dict[str, list[str]] = {}
+    for schema_json, by_bucket in groups.items():
+        fs: list[str] = []
+        for b, paths in by_bucket.items():
+            if buckets is None or int(b) in buckets:
+                fs.extend(paths)
+        if fs:
+            out[schema_json] = fs
+    return out
+
+
 @dataclass
 class Snapshot:
     version: int
     epochs: list[int]  # all batch epochs applied as of this snapshot
     schema: StructType  # current logical schema
-    # file groups: schema_json -> {bucket(str) -> [file paths]}
+    # base file groups: schema_json -> {bucket(str) -> [file paths]}
     file_groups: dict[str, dict[str, list[str]]]
     summary: dict
+    # merge-on-read delta files, same shape as file_groups
+    delta_groups: dict[str, dict[str, list[str]]] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.delta_groups is None:
+            self.delta_groups = {}
 
     def files_for(self, buckets: set[int] | None) -> dict[str, list[str]]:
-        """schema_json -> file list, optionally restricted to buckets
-        (manifest-level partition pruning: untouched buckets are never
-        even listed, let alone read)."""
-        out: dict[str, list[str]] = {}
-        for schema_json, by_bucket in self.file_groups.items():
-            fs: list[str] = []
-            for b, paths in by_bucket.items():
-                if buckets is None or int(b) in buckets:
-                    fs.extend(paths)
-            if fs:
-                out[schema_json] = fs
-        return out
+        return _select_files(self.file_groups, buckets)
+
+    def delta_files_for(self, buckets: set[int] | None) -> dict[str, list[str]]:
+        return _select_files(self.delta_groups, buckets)
+
+    def delta_buckets(self) -> set[int]:
+        return {int(b) for by_bucket in self.delta_groups.values() for b in by_bucket}
 
 
 class LakeTable:
     """Bucket-partitioned, snapshot-committed keyed table."""
 
-    def __init__(self, path: str, key_col: str = "url", num_buckets: int = 32):
+    def __init__(
+        self,
+        path: str,
+        key_col: str = "url",
+        num_buckets: int = 32,
+        order_cols: tuple[str, ...] = ("warc_ts", "seq"),
+    ):
         self.path = path
         self.key_col = key_col
         self.num_buckets = num_buckets
+        # total LWW order used to merge base+delta rows per key at read time
+        self.order_cols = tuple(order_cols)
         self.meta_dir = os.path.join(path, "_meta")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -126,6 +157,7 @@ class LakeTable:
             schema=StructType.fromJson(json.loads(m["schema"])),
             file_groups=m["file_groups"],
             summary=m.get("summary", {}),
+            delta_groups=m.get("delta_groups", {}),
         )
 
     def epochs_applied(self) -> set[int]:
@@ -144,16 +176,17 @@ class LakeTable:
 
     # -- read -----------------------------------------------------------------
 
-    def read(self, spark: SparkSession, buckets: set[int] | None = None) -> DataFrame | None:
-        """Current state (optionally only the given buckets). Old file
-        groups are upcast to the current schema: missing columns → null,
-        narrower numeric types → cast up. Returns None for an empty table."""
-        snap = self.current_snapshot()
-        if snap is None:
-            return None
-        groups = snap.files_for(buckets)
+    def _read_groups(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        groups: dict[str, list[str]],
+    ) -> DataFrame | None:
+        """Union the given file groups, upcasting every group to the
+        current schema: missing columns → null, narrower numeric types →
+        cast up (schema evolution never rewrites data)."""
         if not groups:
-            return spark.createDataFrame([], snap.schema)
+            return None
         cur_fields = {f.name: f.dataType for f in snap.schema.fields}
         parts: list[DataFrame] = []
         for schema_json, files in groups.items():
@@ -173,18 +206,58 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: set[int] | None = None,
+        merge: bool = True,
+    ) -> DataFrame | None:
+        """Current state (optionally only the given buckets). When delta
+        files exist and ``merge`` is on, base and delta rows are LWW-merged
+        per key on the bucket shuffle (winner by ``order_cols`` desc) — the
+        merge-on-read half of the delta-commit design. ``merge=False``
+        returns the raw base+delta union (one row per surviving version).
+        Returns None for an empty table."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        base = self._read_groups(spark, snap, snap.files_for(buckets))
+        delta = self._read_groups(spark, snap, snap.delta_files_for(buckets))
+        if base is None and delta is None:
+            return spark.createDataFrame([], snap.schema)
+        out = base.unionByName(delta) if base is not None and delta is not None else (base or delta)
+        if delta is None or not merge:
+            return out
+        from data_migration_validation_spark.operators.lww import lww_window_bucketed
+
+        out = out.withColumn(BUCKET_COL, bucket_expr(F.col(self.key_col), self.num_buckets))
+        return lww_window_bucketed(
+            out, key=self.key_col, order=self.order_cols, bucket_col=BUCKET_COL
+        ).drop(BUCKET_COL)
+
     # -- commit ---------------------------------------------------------------
 
     def commit(
         self,
         new_bucket_data: DataFrame,
         touched_buckets: set[int],
-        epoch: int,
+        epoch: int | None,
         schema: StructType,
         summary: dict | None = None,
+        mode: str = "rewrite",
     ) -> tuple[bool, int]:
-        """Atomically commit one epoch: write parquet for touched buckets,
-        carry all other buckets forward, publish the new manifest.
+        """Atomically commit one epoch and publish the new manifest.
+
+        ``mode="delta"`` (merge-on-read): the written files are appended
+        as DELTA files for the touched buckets; every base file and every
+        existing delta is carried forward by reference — write volume is
+        the epoch's rows, independent of table size. ``mode="rewrite"``
+        (copy-on-write / compaction): the written files REPLACE the
+        touched buckets' base and delta files; untouched buckets carry
+        forward.
+
+        ``epoch=None`` marks a maintenance commit (compaction): no epoch
+        is recorded and the idempotency guard is skipped.
 
         Returns ``(committed, rows_written)``; rows come from the written
         files' parquet footers (driver-side metadata — no counting job),
@@ -194,9 +267,11 @@ class LakeTable:
         must contain ``_bucket`` and exactly the columns of ``schema``,
         and must only produce rows in ``touched_buckets`` (enforced).
         """
+        if mode not in ("rewrite", "delta"):
+            raise ValueError(f"unknown commit mode {mode!r}")
         prev = self.current_snapshot()
         applied = set(prev.epochs) if prev else set()
-        if epoch in applied:
+        if epoch is not None and epoch in applied:
             return False, 0
 
         version = self._next_version()
@@ -241,17 +316,38 @@ class LakeTable:
             )
 
         schema_json = json.dumps(json.loads(schema.json()), sort_keys=True)
-        file_groups: dict[str, dict[str, list[str]]] = {}
-        if prev is not None:
-            for sj, by_bucket in prev.file_groups.items():
-                kept = {b: fs for b, fs in by_bucket.items() if int(b) not in touched_buckets}
+
+        def _carry(
+            groups: dict[str, dict[str, list[str]]] | None, drop_touched: bool
+        ) -> dict[str, dict[str, list[str]]]:
+            out: dict[str, dict[str, list[str]]] = {}
+            for sj, by_bucket in (groups or {}).items():
+                kept = (
+                    {b: fs for b, fs in by_bucket.items() if int(b) not in touched_buckets}
+                    if drop_touched
+                    else dict(by_bucket)
+                )
                 if kept:
-                    file_groups[sj] = kept
-        merged = file_groups.setdefault(schema_json, {})
+                    out[sj] = kept
+            return out
+
+        if mode == "delta":
+            # base untouched; new files append to the delta groups
+            file_groups = _carry(prev.file_groups if prev else None, drop_touched=False)
+            delta_groups = _carry(prev.delta_groups if prev else None, drop_touched=False)
+            target = delta_groups
+        else:
+            # rewrite: touched buckets' base AND deltas are replaced by the
+            # new files (the caller merged them — CoW apply or compaction)
+            file_groups = _carry(prev.file_groups if prev else None, drop_touched=True)
+            delta_groups = _carry(prev.delta_groups if prev else None, drop_touched=True)
+            target = file_groups
+        merged = target.setdefault(schema_json, {})
         for b, fs in new_by_bucket.items():
             merged.setdefault(b, []).extend(fs)
         if not merged:
-            file_groups.pop(schema_json, None)
+            target.pop(schema_json, None)
+        if not file_groups:
             file_groups.setdefault(schema_json, {})  # keep schema recorded
 
         rows_written: int | None = 0
@@ -267,11 +363,44 @@ class LakeTable:
 
         manifest = {
             "version": version,
-            "epochs": sorted(applied | {epoch}),
+            "epochs": sorted(applied | {epoch}) if epoch is not None else sorted(applied),
             "schema": schema.json(),
             "file_groups": file_groups,
+            "delta_groups": delta_groups,
             "summary": {**(summary or {}), "epoch": epoch},
         }
         _atomic_write(os.path.join(self.meta_dir, f"v{version}.json"), json.dumps(manifest))
         _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
         return True, rows_written
+
+    # -- compaction ------------------------------------------------------------
+
+    def compact(
+        self, spark: SparkSession, buckets: set[int] | None = None
+    ) -> int:
+        """Fold delta files back into base files (merge-on-read →
+        merge-on-write, amortized): LWW-merge base+delta for every bucket
+        that has deltas (or the given subset), rewrite those buckets as
+        new base files, and drop the consumed deltas — one atomic
+        maintenance commit. Buckets without deltas are untouched. Returns
+        the number of compacted buckets."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return 0
+        targets = snap.delta_buckets()
+        if buckets is not None:
+            targets &= set(buckets)
+        if not targets:
+            return 0
+        merged = self.read(spark, buckets=targets, merge=True).withColumn(
+            BUCKET_COL, bucket_expr(F.col(self.key_col), self.num_buckets)
+        )
+        self.commit(
+            merged,
+            touched_buckets=targets,
+            epoch=None,
+            schema=snap.schema,
+            summary={"compacted_buckets": len(targets)},
+            mode="rewrite",
+        )
+        return len(targets)

@@ -69,6 +69,8 @@ def cmd_apply(args: argparse.Namespace) -> int:
         num_buckets=args.buckets,
         use_pandas_lww=args.pandas_lww,
         in_batch_prededup=args.prededup,
+        merge_mode=args.merge_mode,
+        compact_every=args.compact_every or None,
     )
     lo, hi = log.agg(F.min("batch_epoch"), F.max("batch_epoch")).collect()[0]
     if lo is None:
@@ -99,6 +101,16 @@ def cmd_apply(args: argparse.Namespace) -> int:
         )
     final = engine.read_final()
     print(json.dumps({"command": "apply", "final_rows": final.count() if final is not None else 0}))
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    spark = _spark("dmv-compact")
+    lake = LakeTable(args.table, key_col=args.key, num_buckets=args.buckets)
+    n = lake.compact(spark)
+    print(json.dumps({"command": "compact", "compacted_buckets": n}))
     return 0
 
 
@@ -256,7 +268,26 @@ def build_parser() -> argparse.ArgumentParser:
         "(worth it for backfill/replay batches with many versions per key)",
     )
     a.add_argument("--no-resume", action="store_true")
+    a.add_argument(
+        "--merge-mode",
+        choices=["mor", "cow"],
+        default="mor",
+        help="mor: epoch deltas + read-time merge + periodic compaction "
+        "(write cost ∝ epoch); cow: rewrite touched buckets each epoch",
+    )
+    a.add_argument(
+        "--compact-every",
+        type=int,
+        default=8,
+        help="fold delta files into base every N epochs (0 = never)",
+    )
     a.set_defaults(fn=cmd_apply)
+
+    c = sub.add_parser("compact", help="fold a table's delta files into its base files")
+    c.add_argument("--table", required=True)
+    c.add_argument("--key", default="url")
+    c.add_argument("--buckets", type=int, default=64)
+    c.set_defaults(fn=cmd_compact)
 
     r = sub.add_parser("reconcile", help="diff lake final state vs expected parquet")
     r.add_argument("--table", required=True)

@@ -1,0 +1,143 @@
+"""Merge-on-read lake semantics: delta commits, read-time LWW merge,
+compaction, and — the scale property that motivates the design — write
+volume proportional to the EPOCH, not the table.
+
+Copy-on-write rewrites every touched bucket per epoch; with uniformly
+hashed keys every epoch touches every bucket, i.e. rewrites the table.
+The delta path must (a) land on the identical final state, (b) leave base
+files byte-for-byte untouched, and (c) fold away under compaction.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_validation_spark.operators.reconcile import cogroup_reconcile
+from data_migration_validation_spark.plans.apply import CDCApplyEngine
+from data_migration_validation_spark.sources.binlog import (
+    BinlogConfig,
+    epoch_slice,
+    synth_binlog,
+)
+
+CFG = BinlogConfig(n_keys=200, max_versions=4, events_per_epoch=200, seed=11)
+
+
+@pytest.fixture(scope="module")
+def binlog(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mor-binlog") / "log")
+    synth_binlog(spark, CFG).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _replay(spark, binlog, tmp, **kw) -> CDCApplyEngine:
+    engine = CDCApplyEngine(
+        spark,
+        table_path=str(tmp / "table"),
+        checkpoint_path=str(tmp / "ckpt"),
+        num_buckets=8,
+        **kw,
+    )
+    for epoch in range(CFG.n_epochs):
+        engine.apply_epoch(epoch_slice(binlog, CFG, epoch), epoch)
+    return engine
+
+
+def _group_bytes(groups: dict) -> int:
+    return sum(
+        os.path.getsize(fp)
+        for by_bucket in groups.values()
+        for files in by_bucket.values()
+        for fp in files
+    )
+
+
+def test_mor_final_state_matches_cow(spark, binlog, tmp_path):
+    mor = _replay(spark, binlog, tmp_path / "mor", merge_mode="mor", compact_every=None)
+    cow = _replay(spark, binlog, tmp_path / "cow", merge_mode="cow")
+    diff = cogroup_reconcile(cow.read_final(), mor.read_final(), key="url")
+    assert diff.count() == 0
+    # and the mor table genuinely holds uncompacted deltas at this point
+    assert mor.lake.current_snapshot().delta_buckets()
+
+
+def test_single_key_epoch_writes_one_bucket_delta_only(spark, binlog, tmp_path):
+    """The VERDICT-grade scale property: an epoch touching one bucket must
+    write only that bucket's delta bytes and reference every base file
+    unchanged."""
+    engine = _replay(spark, binlog, tmp_path, merge_mode="mor", compact_every=None)
+    engine.lake.compact(spark)  # establish a compacted base
+    before = engine.lake.current_snapshot()
+    assert not before.delta_buckets()
+    base_bytes = _group_bytes(before.file_groups)
+
+    one_url = binlog.select("url").limit(1).collect()[0]["url"]
+    tiny = (
+        binlog.where(F.col("url") == one_url)
+        .withColumn("seq", F.col("seq") + 1_000_000)
+        .withColumn("batch_epoch", F.lit(CFG.n_epochs))
+    )
+    assert tiny.count() > 0
+    stats = engine.apply_epoch(tiny, CFG.n_epochs)
+    assert not stats.skipped and stats.buckets_touched == 1
+
+    after = engine.lake.current_snapshot()
+    # base untouched: identical file references, byte-for-byte
+    assert after.file_groups == before.file_groups
+    assert _group_bytes(after.file_groups) == base_bytes
+    # exactly one bucket gained delta files, and the write is bounded by
+    # one bucket's share of the table (parquet per-file overhead dominates
+    # at test scale, so compare per-bucket, not per-table)
+    assert len(after.delta_buckets()) == 1
+    delta_files = [
+        fp for bb in after.delta_groups.values() for fs in bb.values() for fp in fs
+    ]
+    assert len(delta_files) == 1
+    delta_bytes = _group_bytes(after.delta_groups)
+    assert 0 < delta_bytes < 2 * base_bytes / engine.lake.num_buckets
+
+
+def test_compaction_preserves_state_and_clears_deltas(spark, binlog, tmp_path):
+    engine = _replay(spark, binlog, tmp_path, merge_mode="mor", compact_every=None)
+    snap = engine.lake.current_snapshot()
+    assert snap.delta_buckets()
+    before_rows = sorted(
+        tuple(r) for r in engine.read_final().select("url", "seq", "warc_ts").collect()
+    )
+    n = engine.lake.compact(spark)
+    assert n == len(snap.delta_buckets())
+    after_snap = engine.lake.current_snapshot()
+    assert not after_snap.delta_buckets()
+    assert sorted(set(after_snap.epochs)) == sorted(set(snap.epochs))  # maintenance commit
+    after_rows = sorted(
+        tuple(r) for r in engine.read_final().select("url", "seq", "warc_ts").collect()
+    )
+    assert after_rows == before_rows
+    # second compaction is a no-op
+    assert engine.lake.compact(spark) == 0
+
+
+def test_auto_compaction_bounds_delta_files(spark, binlog, tmp_path):
+    engine = _replay(spark, binlog, tmp_path, merge_mode="mor", compact_every=2)
+    snap = engine.lake.current_snapshot()
+    # with compaction every 2 epochs, at most 1 uncompacted epoch of
+    # deltas remains per bucket at any time
+    per_bucket = [
+        len(files)
+        for by_bucket in snap.delta_groups.values()
+        for files in by_bucket.values()
+    ]
+    assert all(n <= 1 for n in per_bucket)
+    m = engine.ckpt.metrics()
+    assert (m[m.metric == "compacted_buckets"].value > 0).any()
+
+
+def test_mor_epoch_commit_is_idempotent(spark, binlog, tmp_path):
+    engine = _replay(spark, binlog, tmp_path, merge_mode="mor", compact_every=None)
+    v = engine.lake.current_version()
+    stats = engine.apply_epoch(epoch_slice(binlog, CFG, 0), 0)
+    assert stats.skipped
+    assert engine.lake.current_version() == v

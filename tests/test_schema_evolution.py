@@ -113,4 +113,9 @@ def test_mid_stream_evolution_replay(spark, tmp_path):
     # old files were NOT rewritten: early-epoch commits' parquet files are
     # still referenced by the final snapshot under their original schema
     snap = engine.lake.current_snapshot()
-    assert len(snap.file_groups) >= 2  # at least v1 and v3 file groups alive
+    # at least the v1 and v3 schema file groups are still referenced (with
+    # merge-on-read commits they live in the delta groups until compaction)
+    live_groups = {sj for sj, bb in snap.file_groups.items() if bb} | {
+        sj for sj, bb in snap.delta_groups.items() if bb
+    }
+    assert len(live_groups) >= 2
