@@ -116,12 +116,14 @@ def worker(log_path: str, cpus: int, n_keys: int) -> None:
         events = log.count()
 
         # -- warmup: JIT, Python worker pool, FS cache (untimed) -------------
-        # in_batch_prededup=True: this workload is a REPLAY (~2.6 versions
-        # per key per epoch), the regime the pre-dedup shuffle is for —
-        # extraction then runs on winners only (see CDCApplyEngine docs).
+        # enrich_text=True: the production ingest shape — extraction plus
+        # language id / quality / fingerprint per page (all post-dedup, on
+        # winners only). Without per-page analysis the job is almost pure
+        # byte movement, which on THIS host is capped by the shared memory
+        # controllers, not by the engine (BENCH.md capacity probes).
+        kw = dict(num_buckets=NUM_BUCKETS, in_batch_prededup=True, enrich_text=True)
         warm = CDCApplyEngine(
-            spark, table_path=f"{tmp}/warm-t", checkpoint_path=f"{tmp}/warm-c",
-            num_buckets=NUM_BUCKETS, in_batch_prededup=True,
+            spark, table_path=f"{tmp}/warm-t", checkpoint_path=f"{tmp}/warm-c", **kw
         )
         warm.apply_epoch(log.where(F.col("batch_epoch") == 0), 0)
         shutil.rmtree(f"{tmp}/warm-t", ignore_errors=True)
@@ -129,8 +131,7 @@ def worker(log_path: str, cpus: int, n_keys: int) -> None:
 
         # -- timed full replay ------------------------------------------------
         engine = CDCApplyEngine(
-            spark, table_path=f"{tmp}/table", checkpoint_path=f"{tmp}/ckpt",
-            num_buckets=NUM_BUCKETS, in_batch_prededup=True,
+            spark, table_path=f"{tmp}/table", checkpoint_path=f"{tmp}/ckpt", **kw
         )
         t0 = time.monotonic()
         for epoch in range(cfg.n_epochs):

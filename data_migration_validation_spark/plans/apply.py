@@ -82,6 +82,7 @@ class CDCApplyEngine:
         in_batch_prededup: bool = False,
         merge_mode: str = "mor",
         compact_every: int | None = 8,
+        enrich_text: bool = False,
     ):
         """``in_batch_prededup``: add a key-hash pre-shuffle that dedups the
         batch BEFORE text extraction and the merge. Worth it for backfill /
@@ -96,7 +97,15 @@ class CDCApplyEngine:
         ``compact_every`` epochs the deltas are folded into base files.
         ``"cow"`` reads the touched state buckets each epoch and rewrites
         them merged — simpler reads, but with uniformly distributed keys
-        every epoch touches every bucket, i.e. rewrites the table."""
+        every epoch touches every bucket, i.e. rewrites the table.
+
+        ``enrich_text``: run the training-data text-analysis operators on
+        ingest — language id, quality score, and a 64-bit fingerprint per
+        page (functions/text.py) — stored as ``lang_guess`` / ``quality``
+        / ``fingerprint`` columns. This is the production shape of a
+        corpus pipeline (enrich once at ingest, filter cheaply forever);
+        all three are pure Column expressions (whole-stage codegen) over
+        the post-dedup winners."""
         if merge_mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
         self.spark = spark
@@ -108,6 +117,7 @@ class CDCApplyEngine:
         self.n_salts = n_salts
         self.merge_mode = merge_mode
         self.compact_every = compact_every
+        self.enrich_text = enrich_text
         self.registry = SchemaRegistry()
         snap = self.lake.current_snapshot()
         if snap is not None:
@@ -162,42 +172,33 @@ class CDCApplyEngine:
         )
         has_html = "html" in flat.columns
 
-        # 4. in-batch LWW. Window path: SKIPPED as a separate shuffle —
-        # raw events go straight into the bucket-keyed merge window below,
-        # which deduplicates and merges in the SAME shuffle (the one that
-        # is also the write partitioning). One fat shuffle per epoch total.
-        # The salted applyInPandas path (north-star operator, hot-KEY
-        # robust) still pre-reduces when selected.
-        if self.use_pandas_lww:
-            pre = lww_apply_in_pandas(flat, key=key, order=("warc_ts", "seq"), n_salts=self.n_salts)
-        elif self.in_batch_prededup:
-            pre = lww_window(flat, key=key, order=("warc_ts", "seq"))
-        else:
-            pre = flat
-
-        # 5. vectorized text extraction MAP-SIDE, before the shuffle: runs
-        # on this batch's events only (state rows never re-cross the
-        # Python boundary — their text is already stored), and fuses into
-        # the scan stage. Trade-off vs extracting post-dedup: some losing
-        # events get extracted too, but the second key-shuffle of fat rows
-        # disappears — at 1e10 events the shuffle is the scarcer resource.
-        if has_html:
-            pre = pre.withColumn("text", extract_text(F.col("html")))
-
-        # schema merge (registry == durable snapshot schema)
-        target = self.registry.merge(pre.schema)
-        pre = conform(pre, target).withColumn(
-            BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
-        )
-
         if self.merge_mode == "mor":
-            # 5b/6 (merge-on-read): NO state read at all. The epoch's
+            # 4-6 (merge-on-read): NO state read at all. The epoch's raw
             # events LWW-reduce in ONE bucket-keyed window (which is also
-            # the write partitioning) and land as per-bucket delta files —
-            # write volume ∝ epoch size, never table size. The cross-epoch
-            # merge happens at read time (and is amortized by compaction).
-            merged = lww_window_bucketed(
-                pre, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
+            # the write partitioning); vectorized text extraction runs
+            # AFTER the window, on winners only — one fat shuffle carrying
+            # html (not text), extraction over the minimum row set, and
+            # delta files whose volume is ∝ epoch size, never table size.
+            # The cross-epoch merge happens at read time (amortized by
+            # compaction). in_batch_prededup is a no-op here (the window
+            # already is the in-batch dedup); the salted applyInPandas
+            # path (north-star operator, hot-KEY robust) still pre-reduces
+            # when selected.
+            src = flat
+            if self.use_pandas_lww:
+                src = lww_apply_in_pandas(
+                    src, key=key, order=("warc_ts", "seq"), n_salts=self.n_salts
+                )
+            src = src.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+            winners = lww_window_bucketed(
+                src, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
+            )
+            if has_html:
+                winners = winners.withColumn("text", extract_text(F.col("html")))
+                winners = self._enrich(winners)
+            target = self.registry.merge(winners.drop(BUCKET_COL).schema)
+            merged = conform(winners, target).withColumn(
+                BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
             )
             committed, merged_rows = self.lake.commit(
                 merged,
@@ -208,6 +209,35 @@ class CDCApplyEngine:
                 mode="delta",
             )
         else:
+            # 4. in-batch LWW (CoW path). Window path: SKIPPED as a
+            # separate shuffle — raw events go straight into the bucket-
+            # keyed merge window below, which deduplicates and merges in
+            # the SAME shuffle (the one that is also the write
+            # partitioning). One fat shuffle per epoch total. The salted
+            # applyInPandas path still pre-reduces when selected.
+            if self.use_pandas_lww:
+                pre = lww_apply_in_pandas(
+                    flat, key=key, order=("warc_ts", "seq"), n_salts=self.n_salts
+                )
+            elif self.in_batch_prededup:
+                pre = lww_window(flat, key=key, order=("warc_ts", "seq"))
+            else:
+                pre = flat
+
+            # 5. vectorized text extraction MAP-SIDE, before the shuffle:
+            # runs on this batch's events only (state rows never re-cross
+            # the Python boundary — their text is already stored), and
+            # fuses into the scan stage. Extracting post-merge instead
+            # would pull state rows through Python again.
+            if has_html:
+                pre = pre.withColumn("text", extract_text(F.col("html")))
+                pre = self._enrich(pre)
+
+            # schema merge (registry == durable snapshot schema)
+            target = self.registry.merge(pre.schema)
+            pre = conform(pre, target).withColumn(
+                BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
+            )
             state = self.lake.read(self.spark, buckets=touched)
             if state is not None and state.schema != target:
                 state = conform(state, target)
@@ -288,6 +318,21 @@ class CDCApplyEngine:
             merged_rows=None if merged_rows is None else int(merged_rows),
             buckets_touched=len(touched),
             seconds=time.monotonic() - t0,
+        )
+
+    def _enrich(self, df: DataFrame) -> DataFrame:
+        """Ingest-time text analysis (enrich_text option): language id,
+        quality score, 64-bit content fingerprint — Column-only
+        expressions over the extracted text. Deletes carry nulls."""
+        if not self.enrich_text:
+            return df
+        from data_migration_validation_spark.functions.text import lang_id, quality_score
+
+        t = F.col("text")
+        return (
+            df.withColumn("lang_guess", F.when(t.isNotNull(), lang_id(t)))
+            .withColumn("quality", F.when(t.isNotNull(), quality_score(t)))
+            .withColumn("fingerprint", F.when(t.isNotNull(), F.xxhash64(t)))
         )
 
     # -- full replay --------------------------------------------------------------

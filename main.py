@@ -71,6 +71,7 @@ def cmd_apply(args: argparse.Namespace) -> int:
         in_batch_prededup=args.prededup,
         merge_mode=args.merge_mode,
         compact_every=args.compact_every or None,
+        enrich_text=args.enrich,
     )
     lo, hi = log.agg(F.min("batch_epoch"), F.max("batch_epoch")).collect()[0]
     if lo is None:
@@ -165,11 +166,16 @@ def cmd_validate(args: argparse.Namespace) -> int:
 
     os.makedirs(args.out, exist_ok=True)
 
-    def sink(df, name: str, order=None):
+    def sink(df, name: str, order=None, single_file: bool = False):
+        """Write a proof artifact as CSV. Tiny summaries coalesce to one
+        file for readability; row-level artifacts (only_in_*, mismatches)
+        can be arbitrarily large at scale, so they keep their natural
+        parallelism (a directory of part files, like any Spark output)."""
         out = df if order is None else V.proof(df, order)
+        if single_file:
+            out = out.coalesce(1)
         (
-            out.coalesce(1)
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .option("header", True)
             .csv(os.path.join(args.out, name))
         )
@@ -191,11 +197,11 @@ def cmd_validate(args: argparse.Namespace) -> int:
             )
         format_rules[col] = rule
 
-    sink(V.row_counts(old, new, cfg), "row_counts")
+    sink(V.row_counts(old, new, cfg), "row_counts", single_file=True)
     sink(V.duplicate_rows(old, args.pk), "duplicates_old", order=args.pk)
     sink(V.duplicate_rows(new, args.pk), "duplicates_new", order=args.pk)
-    sink(V.null_summary(old, new, cfg), "nulls_summary")
-    sink(V.schema_comparison(old, new), "schema_comparison")
+    sink(V.null_summary(old, new, cfg), "nulls_summary", single_file=True)
+    sink(V.schema_comparison(old, new), "schema_comparison", single_file=True)
     oio = V.only_in_old(old, new, cfg)
     oin = V.only_in_new(old, new, cfg)
     sink(oio, "only_in_old", order=args.pk)
@@ -222,7 +228,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
     summary = V.check_summary(old, new, cfg, format_rules=format_rules or None)
     if args.verification:
         summary = V.annotate_check_signoff(summary, ver_checks)
-    sink(summary, "checks")
+    sink(summary, "checks", single_file=True)
     rows = summary.collect()
     print(
         json.dumps(
@@ -280,6 +286,12 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=8,
         help="fold delta files into base every N epochs (0 = never)",
+    )
+    a.add_argument(
+        "--enrich",
+        action="store_true",
+        help="ingest-time text analysis: store lang_guess/quality/"
+        "fingerprint per page alongside the extracted text",
     )
     a.set_defaults(fn=cmd_apply)
 

@@ -141,3 +141,22 @@ def test_mor_epoch_commit_is_idempotent(spark, binlog, tmp_path):
     stats = engine.apply_epoch(epoch_slice(binlog, CFG, 0), 0)
     assert stats.skipped
     assert engine.lake.current_version() == v
+
+
+def test_enrich_text_adds_analysis_columns(spark, binlog, tmp_path):
+    engine = _replay(
+        spark, binlog, tmp_path, merge_mode="mor", compact_every=None, enrich_text=True
+    )
+    final = engine.read_final()
+    for c in ("lang_guess", "quality", "fingerprint"):
+        assert c in final.columns
+    live = final.where(F.col("text").isNotNull())
+    n = live.count()
+    assert n > 0
+    assert live.where(F.col("fingerprint").isNull()).count() == 0
+    assert live.where((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    # enrichment must not change the key set vs the plain engine
+    plain = _replay(spark, binlog, tmp_path / "plain", merge_mode="mor", compact_every=None)
+    assert sorted(r["url"] for r in final.select("url").collect()) == sorted(
+        r["url"] for r in plain.read_final().select("url").collect()
+    )
