@@ -116,12 +116,17 @@ def worker(log_path: str, cpus: int, n_keys: int) -> None:
         events = log.count()
 
         # -- warmup: JIT, Python worker pool, FS cache (untimed) -------------
-        # enrich_text=True: the production ingest shape — extraction plus
-        # language id / quality / fingerprint per page (all post-dedup, on
-        # winners only). Without per-page analysis the job is almost pure
-        # byte movement, which on THIS host is capped by the shared memory
-        # controllers, not by the engine (BENCH.md capacity probes).
-        kw = dict(num_buckets=NUM_BUCKETS, in_batch_prededup=True, enrich_text=True)
+        # Workload knobs (BENCH.md discusses all three):
+        #   SPARK_GRAFT_SCALE_MODE=mor|cow   engine merge mode (default mor)
+        #   SPARK_GRAFT_SCALE_ENRICH=1       add ingest-time text analysis
+        # The default (mor, no enrich) matches bench.py and the production
+        # default; cow reproduces the round-1 job shape for continuity.
+        kw = dict(
+            num_buckets=NUM_BUCKETS,
+            in_batch_prededup=True,
+            merge_mode=os.environ.get("SPARK_GRAFT_SCALE_MODE", "mor"),
+            enrich_text=os.environ.get("SPARK_GRAFT_SCALE_ENRICH", "0") == "1",
+        )
         warm = CDCApplyEngine(
             spark, table_path=f"{tmp}/warm-t", checkpoint_path=f"{tmp}/warm-c", **kw
         )
