@@ -119,6 +119,9 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_path=f"{tmp}/table",
         checkpoint_path=f"{tmp}/ckpt",
         num_buckets=16,
+        # compact mid-replay so the oracle validates the delta-commit AND
+        # compaction paths, and the final read merges base + newer deltas
+        compact_every=2,
     )
     for epoch in range(int(n_epochs)):
         engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
