@@ -12,6 +12,14 @@ synthetic binlog events (out-of-order, duplicates, tombstones, 50% hot-
 domain skew) replayed through the apply engine into a snapshot lake table,
 measured end-to-end including commits. Scaling-efficiency evidence
 (local[N] vs local[4N]) lives in bench_scaling.py / BENCH.md.
+
+Noise protocol: this host's wall clock swings up to 2-3x run-to-run
+(steal bursts — see BENCH.md "host noise"). Every timed unit therefore
+runs REPEATS times (default 2) in interleaved rounds (q1..qN, q1..qN) and
+reports the MIN per unit — a noise burst in one window cannot inflate a
+query's recorded number, and the first round doubles as the JVM/JIT
+warmup for the second. Per-sample values are emitted under "samples" so
+the recorded artifact shows its own spread.
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
 
 # CDC bench scale: ~4 versions/key → ~n_keys*2.5 events (variable version
 # count) + redeliveries. 60k keys ≈ 150k events at sf0.1.
@@ -47,32 +56,18 @@ def main() -> None:
         shuffle_partitions=CPUS,
     )
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
     def run(name: str, fn) -> None:
         t0 = time.monotonic()
         fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        samples.setdefault(name, []).append(round(time.monotonic() - t0, 3))
 
     def consume(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # -- declarative headline queries -------------------------------------
-    for qname in [
-        "lww_events",
-        "val_cell_mismatches",
-        "val_only_in_old",
-        "val_row_counts",
-        "val_duplicates",
-    ]:
-        fn, _ = REGISTRY[qname]
-        run(qname, lambda fn=fn: consume(fn(spark, SF_DIR)))
-
-    # -- flagship: testdata-derived CDC replay ------------------------------
-    fn, _ = REGISTRY["cdc_final_state"]
-    run("cdc_final_state", lambda: fn(spark, SF_DIR).count())
-
-    # -- north-rule metric: synthetic binlog apply throughput ----------------
+    # -- synthetic binlog for the north-rule metric (generated once,
+    # outside any timed window) --------------------------------------------
     from data_migration_validation_spark.plans.apply import CDCApplyEngine
     from data_migration_validation_spark.sources.binlog import (
         BinlogConfig,
@@ -87,27 +82,46 @@ def main() -> None:
         hot_fraction_pct=50,
     )
     tmp = tempfile.mkdtemp(prefix="dmv-bench-")
-    events_applied = 0
     try:
         log_path = f"{tmp}/log"
         synth_binlog(spark, cfg).write.mode("overwrite").parquet(log_path)
         log = spark.read.parquet(log_path)
         events_applied = log.count()
-        engine = CDCApplyEngine(
-            spark,
-            table_path=f"{tmp}/table",
-            checkpoint_path=f"{tmp}/ckpt",
-            num_buckets=CPUS * 2,
-            in_batch_prededup=True,  # replay workload: many versions/key/epoch
-        )
-        t0 = time.monotonic()
-        for epoch in range(cfg.n_epochs):
-            engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
-        cdc_secs = time.monotonic() - t0
-        timings["cdc_apply"] = round(cdc_secs, 3)
+
+        def cdc_apply_once(run_id: int) -> None:
+            # fresh table/checkpoint dirs per sample: each sample measures a
+            # full from-empty replay, never a warm resume no-op
+            work = f"{tmp}/run{run_id}"
+            engine = CDCApplyEngine(
+                spark,
+                table_path=f"{work}/table",
+                checkpoint_path=f"{work}/ckpt",
+                num_buckets=CPUS * 2,
+            )
+            for epoch in range(cfg.n_epochs):
+                engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
+            shutil.rmtree(work, ignore_errors=True)
+
+        # -- interleaved rounds: every unit once per round, min over rounds --
+        declarative = [
+            "lww_events",
+            "val_cell_mismatches",
+            "val_only_in_old",
+            "val_row_counts",
+            "val_duplicates",
+        ]
+        for rnd in range(REPEATS):
+            for qname in declarative:
+                fn, _ = REGISTRY[qname]
+                run(qname, lambda fn=fn: consume(fn(spark, SF_DIR)))
+            fn, _ = REGISTRY["cdc_final_state"]
+            run("cdc_final_state", lambda: fn(spark, SF_DIR).count())
+            run("cdc_apply", lambda rnd=rnd: cdc_apply_once(rnd))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    timings = {name: min(vals) for name, vals in samples.items()}
+    cdc_secs = timings["cdc_apply"]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -116,6 +130,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "repeats": REPEATS,
                 "sf": SF_DIR,
                 "cdc_events_applied": events_applied,
                 "cdc_events_applied_per_sec": round(events_applied / max(cdc_secs, 1e-9), 1),
