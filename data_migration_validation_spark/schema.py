@@ -29,28 +29,49 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# widening lattice: a type may widen to anything to its right
-_NUMERIC_ORDER: list[type] = [ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType]
+# integer widening chain (always lossless) and float widening chain
+_INT_ORDER: list[type] = [ByteType, ShortType, IntegerType, LongType]
+_FLOAT_ORDER: list[type] = [FloatType, DoubleType]
 
 
 class SchemaEvolutionError(ValueError):
     """Incompatible schema change (narrowing / type conflict)."""
 
 
-def _rank(dt: DataType) -> int | None:
-    for i, t in enumerate(_NUMERIC_ORDER):
+def _rank(dt: DataType, order: list[type]) -> int | None:
+    for i, t in enumerate(order):
         if isinstance(dt, t):
             return i
     return None
 
 
 def widen(a: DataType, b: DataType) -> DataType:
-    """Least common widened type of a and b, or raise."""
+    """Least common widened type of a and b, or raise.
+
+    Cross-family (int vs float) unification is allowed only when it is
+    value-preserving: int-or-narrower with any float type widens to
+    DOUBLE (a double's 53-bit mantissa holds every int32 exactly).
+    LONG vs float/double RAISES — a 64-bit id widened to float corrupts
+    values > 2^24 (and to double, > 2^53) silently, which is exactly the
+    mid-stream data corruption a CDC engine must refuse; Iceberg's
+    evolution rules forbid the same pair."""
     if a == b:
         return a
-    ra, rb = _rank(a), _rank(b)
-    if ra is not None and rb is not None:
-        return _NUMERIC_ORDER[max(ra, rb)]()
+    ia, ib = _rank(a, _INT_ORDER), _rank(b, _INT_ORDER)
+    fa, fb = _rank(a, _FLOAT_ORDER), _rank(b, _FLOAT_ORDER)
+    if ia is not None and ib is not None:
+        return _INT_ORDER[max(ia, ib)]()
+    if fa is not None and fb is not None:
+        return _FLOAT_ORDER[max(fa, fb)]()
+    if (ia is not None and fb is not None) or (fa is not None and ib is not None):
+        int_rank = ia if ia is not None else ib
+        if int_rank >= _INT_ORDER.index(LongType):
+            raise SchemaEvolutionError(
+                f"refusing lossy unification of {a.simpleString()} with "
+                f"{b.simpleString()}: 64-bit integers do not fit a float/double "
+                "mantissa (ids above 2^53 would be corrupted silently)"
+            )
+        return DoubleType()
     if isinstance(a, DecimalType) and isinstance(b, DecimalType):
         scale = max(a.scale, b.scale)
         prec = max(a.precision - a.scale, b.precision - b.scale) + scale

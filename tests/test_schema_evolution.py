@@ -53,6 +53,25 @@ def test_widen_lattice():
         widen(StringType(), LongType())
 
 
+def test_widen_refuses_lossy_long_float():
+    """long↔float/double unification silently corrupts 64-bit ids (> 2^24
+    as float, > 2^53 as double) — the registry must refuse, like Iceberg.
+    int-or-narrower↔float widens to double, which holds every int32."""
+    from pyspark.sql.types import FloatType, ShortType
+
+    for pair in [
+        (LongType(), FloatType()),
+        (FloatType(), LongType()),
+        (LongType(), DoubleType()),
+        (DoubleType(), LongType()),
+    ]:
+        with pytest.raises(SchemaEvolutionError):
+            widen(*pair)
+    assert isinstance(widen(IntegerType(), FloatType()), DoubleType)
+    assert isinstance(widen(FloatType(), ShortType()), DoubleType)
+    assert isinstance(widen(FloatType(), DoubleType()), DoubleType)
+
+
 def test_merge_schemas_additive_and_partial():
     cur = StructType([StructField("a", IntegerType()), StructField("b", StringType())])
     inc = StructType([StructField("a", LongType()), StructField("c", DoubleType())])
