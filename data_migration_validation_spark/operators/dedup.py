@@ -44,8 +44,13 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     exchange, so the shuffle carries (16-byte hash, id) pairs — never the
     text; the member join back is hash-keyed too. md5 collisions are
     negligible at corpus scale (~2^-64 at 1e10 docs); a collision-paranoid
-    deployment swaps in sha2(256) on the same plan."""
-    hashed = df.select(
+    deployment swaps in sha2(256) on the same plan.
+
+    Null text is excluded explicitly: null join keys never match, so the
+    inner join would silently drop null-text rows anyway — filtering both
+    sides makes 'nulls are not duplicates of each other' the defined
+    semantics (and keeps the SQL oracle aligned by construction)."""
+    hashed = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_h")
     )
     canon = hashed.groupBy("_h").agg(F.min(id_col).alias("canonical_id"))

@@ -6,9 +6,15 @@
   baseline and the oracle.
 * ``lsh_topk`` — the scale path: random-hyperplane LSH (deterministic,
   seed-derived hyperplanes) buckets vectors by sign bits; candidates are
-  the query's bucket in each of ``n_tables`` hash tables, then exact
-  rerank of candidates only. At 1e9 vectors the brute path scans
-  everything; the LSH path scans |union of matching buckets|.
+  the query's bucket in each of ``n_tables`` hash tables — plus, with
+  ``probe_radius`` > 0 and the query's raw values supplied, every bucket
+  within that Hamming radius of the query bucket (multi-probe LSH: near
+  neighbors that miss the exact bucket land one or two sign-flips away,
+  so probing adjacent buckets recovers most of the recall lost to bit
+  noise). The probe set is enumerated driver-side as LITERAL bucket keys
+  (sum of C(n_bits, 0..r) per table) and matched by equality — still a
+  bucket lookup, still partition-prunable at 1e9 vectors; only the
+  candidate union is exactly reranked.
 
 Hyperplane h_t,j[i] is a deterministic pseudo-random value in [-0.5, 0.5)
 derived from (table, bit, dim) — reproducible in SQL, so even the ANN
@@ -28,15 +34,24 @@ _HP_MOD = 2**31 - 1
 
 
 def _hp_val(t: int, j: int, i: int) -> float:
-    """Deterministic hyperplane coefficient in [-0.5, 0.5)."""
-    z = ((t * 131071 + j * 8191 + i * 127 + 17) * _HP_MIX) % _HP_MOD
+    """Deterministic hyperplane coefficient in [-0.5, 0.5).
+
+    The seed is squared mod M before the final mix: a purely linear map
+    (seed * k % M) leaves the coefficients an arithmetic progression in
+    the dimension index, which makes every hyperplane nearly orthogonal
+    to real data (dot products pile up at 0) and the sign bits noise —
+    measured recall collapsed to 0.1 before the nonlinearity. All
+    intermediates stay < 2^63, so DuckDB BIGINT reproduces this exactly."""
+    z1 = (t * 131071 + j * 8191 + i * 127 + 17) % _HP_MOD
+    z = ((z1 * z1) % _HP_MOD * _HP_MIX + z1) % _HP_MOD
     return z / _HP_MOD - 0.5
 
 
 def hyperplane_sql(t: int, j: int, i: str | int) -> str:
     """DuckDB expression for _hp_val with i possibly a column expr."""
+    z1 = f"(CAST(({t}*131071 + {j}*8191 + ({i})*127 + 17) AS BIGINT) % {_HP_MOD})"
     return (
-        f"(CAST((({t}*131071 + {j}*8191 + ({i})*127 + 17) * {_HP_MIX}) % {_HP_MOD} AS DOUBLE)"
+        f"(CAST((({z1} * {z1}) % {_HP_MOD} * {_HP_MIX} + {z1}) % {_HP_MOD} AS DOUBLE)"
         f" / {_HP_MOD} - 0.5)"
     )
 
@@ -86,6 +101,35 @@ def lsh_bucket_bits(vec_col: Column, table: int, n_bits: int, dim: int) -> Colum
     )
 
 
+def query_bucket_key(values, table: int, n_bits: int) -> str:
+    """Driver-side twin of :func:`lsh_bucket_bits` for a known query
+    vector: same hyperplanes, same sign rule, plain Python floats (IEEE
+    double, identical to the JVM's)."""
+    bits = []
+    for j in range(n_bits):
+        s = 0.0
+        for i, x in enumerate(values):
+            s += _hp_val(table, j, i) * float(x)
+        bits.append("1" if s > 0 else "0")
+    return "".join(bits)
+
+
+def probe_keys(base_key: str, radius: int) -> list[str]:
+    """All bucket keys within Hamming distance ``radius`` of ``base_key``
+    (multi-probe set), enumerated smallest-distance first."""
+    from itertools import combinations
+
+    n = len(base_key)
+    out = [base_key]
+    for r in range(1, radius + 1):
+        for idxs in combinations(range(n), r):
+            flipped = list(base_key)
+            for i in idxs:
+                flipped[i] = "1" if flipped[i] == "0" else "0"
+            out.append("".join(flipped))
+    return out
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: Column,
@@ -95,20 +139,36 @@ def lsh_topk(
     n_tables: int = 4,
     n_bits: int = 8,
     dim: int = 64,
+    query_values=None,
+    probe_radius: int = 0,
 ) -> DataFrame:
-    """ANN top-k: candidates = vectors sharing the query's bucket in ANY
-    table; exact cosine rerank of candidates. Returns (id, cos, rank) —
-    rank within the candidate set."""
+    """ANN top-k: candidates = vectors sharing (a bucket near) the
+    query's bucket in ANY table; exact cosine rerank of candidates only.
+    Returns (id, cos, rank) — rank within the candidate set.
+
+    ``probe_radius`` > 0 requires ``query_values`` (the query vector as a
+    Python sequence): the probe buckets are enumerated driver-side and
+    matched with literal IN-lists, so the plan stays equality-on-bucket-
+    key — the shape that prunes at scale."""
     with_buckets = df.select(
         F.col(id_col),
         F.col(vec_col),
         *[lsh_bucket_bits(F.col(vec_col), t, n_bits, dim).alias(f"_bkt{t}") for t in range(n_tables)],
     )
-    q_buckets = [lsh_bucket_bits(query_vec, t, n_bits, dim) for t in range(n_tables)]
-    cand_pred = None
-    for t in range(n_tables):
-        p = F.col(f"_bkt{t}") == q_buckets[t]
-        cand_pred = p if cand_pred is None else (cand_pred | p)
+    if probe_radius > 0:
+        if query_values is None:
+            raise ValueError("probe_radius > 0 needs query_values to enumerate probe buckets")
+        cand_pred = None
+        for t in range(n_tables):
+            keys = probe_keys(query_bucket_key(query_values, t, n_bits), probe_radius)
+            p = F.col(f"_bkt{t}").isin(keys)
+            cand_pred = p if cand_pred is None else (cand_pred | p)
+    else:
+        q_buckets = [lsh_bucket_bits(query_vec, t, n_bits, dim) for t in range(n_tables)]
+        cand_pred = None
+        for t in range(n_tables):
+            p = F.col(f"_bkt{t}") == q_buckets[t]
+            cand_pred = p if cand_pred is None else (cand_pred | p)
     candidates = with_buckets.where(cand_pred)
     scored = candidates.select(
         F.col(id_col),

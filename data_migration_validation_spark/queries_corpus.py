@@ -45,6 +45,7 @@ COS_T = 0.9
 ANN_K = 10
 LSH_TABLES = 4
 LSH_BITS = 8
+LSH_PROBE_RADIUS = 2  # multi-probe: buckets within hamming 2 of the query's
 DIM = 64
 
 
@@ -92,7 +93,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EXACT_SQL = f"""{CORPUS_CTE}
 SELECT min_id AS canonical_id, doc_id AS dup_id FROM (
-  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS min_id FROM corpus
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+  FROM corpus WHERE text IS NOT NULL
 ) WHERE doc_id <> min_id
 """
 
@@ -163,9 +165,49 @@ WHERE round(CAST(len(list_intersect(l.hashes, r.hashes)) AS DOUBLE)
 """
 
 
+def emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ seeded near-copies (first element nudged +0.25, the
+    arithmetic done in double and rounded back to float — IEEE-identical
+    in Spark and DuckDB) ∪ seeded exact copies. Mirrors the text corpus
+    seeding so the cosine≥T match path is exercised on a NON-empty set
+    (an empty-set green only proves both engines found nothing)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    near = emb.where(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, (x.cast("double") + F.lit(0.25)).cast("float")).otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    exact = emb.where(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 600_000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(near).unionByName(exact)
+
+
+EMB_CORPUS_CTE = """
+WITH embcorpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 500000,
+         [CASE WHEN i = 1 THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.25 AS FLOAT)
+               ELSE embedding[i] END
+          for i in range(1, len(embedding)+1)],
+         label
+  FROM embeddings WHERE vec_id % 13 = 0
+  UNION ALL
+  SELECT vec_id + 600000, embedding, label FROM embeddings WHERE vec_id % 17 = 0
+)
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=COS_T, block_col="label")
+    return embedding_neardup_pairs(
+        emb_corpus(spark, sf_dir), "vec_id", "embedding", threshold=COS_T, block_col="label"
+    )
 
 
 _DOT = (
@@ -183,11 +225,11 @@ def _norm_sql(alias: str) -> str:
     )
 
 
-DEDUP_EMB_COS_SQL = f"""
+DEDUP_EMB_COS_SQL = f"""{EMB_CORPUS_CTE}
 SELECT a, b, cos FROM (
   SELECT l.vec_id AS a, r.vec_id AS b,
          round({_DOT} / ({_norm_sql('l')} * {_norm_sql('r')}), 6) AS cos
-  FROM embeddings l JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+  FROM embcorpus l JOIN embcorpus r ON l.label = r.label AND l.vec_id < r.vec_id
 ) WHERE cos >= {COS_T}
 """
 
@@ -275,10 +317,14 @@ SELECT doc_id, {H.str_fold_sql('text')} AS fingerprint FROM documents
 
 # -- similarity search ---------------------------------------------------------------------
 
-def _query_vec(spark: SparkSession, sf_dir: str):
+def _query_vec_values(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     row = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0]
-    return F.array(*[F.lit(float(x)) for x in row["embedding"]])
+    return [float(x) for x in row["embedding"]]
+
+
+def _query_vec(spark: SparkSession, sf_dir: str):
+    return F.array(*[F.lit(x) for x in _query_vec_values(spark, sf_dir)])
 
 
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,13 +362,16 @@ SELECT vec_id, cos, CAST(rank AS INT) AS rank FROM (
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vals = _query_vec_values(spark, sf_dir)
     return lsh_topk(
         emb,
-        _query_vec(spark, sf_dir),
+        F.array(*[F.lit(x) for x in vals]),
         k=ANN_K,
         n_tables=LSH_TABLES,
         n_bits=LSH_BITS,
         dim=DIM,
+        query_values=vals,
+        probe_radius=LSH_PROBE_RADIUS,
     )
 
 
@@ -345,8 +394,15 @@ eb AS (
   FROM embeddings
 ),
 cand AS (
+  -- multi-probe: a vector is a candidate when its bucket key is within
+  -- hamming LSH_PROBE_RADIUS of the query's key in ANY table (the Spark
+  -- side enumerates these buckets as literal keys; same set)
   SELECT eb.vec_id, eb.embedding FROM eb, qb
-  WHERE {" OR ".join(f"eb.eb{t} = qb.qb{t}" for t in range(LSH_TABLES))}
+  WHERE {" OR ".join(
+      f"len([i for i in range(1, {LSH_BITS}+1) "
+      f"if substr(eb.eb{t}, i, 1) <> substr(qb.qb{t}, i, 1)]) <= {LSH_PROBE_RADIUS}"
+      for t in range(LSH_TABLES)
+  )}
 ),
 scored AS (
   SELECT e.vec_id, round({_QDOT} / ({_QNORM_E} * {_QNORM_Q}), 6) AS cos
