@@ -30,6 +30,19 @@ def get_spark(
     """
     from pyspark import SparkConf
 
+    # Python workers deserialize UDFs by importing this package; they
+    # inherit the driver's environment but NOT its sys.path, so a CLI run
+    # from outside the repo directory fails with ModuleNotFoundError in
+    # the executors. Exporting the package's parent dir on PYTHONPATH
+    # before the JVM starts covers local masters; spark-submit --py-files
+    # covers real clusters.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{py_path}" if py_path else pkg_parent
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         # spark-submit / cluster managers inject spark.master; only force
