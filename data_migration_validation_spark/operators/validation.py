@@ -2,12 +2,13 @@
 O3–O14) re-expressed as declarative DataFrame operators.
 
 Every operator is a pure function (old_df, new_df, config) → DataFrame,
-built only from Catalyst primitives — broadcast anti-joins for allowlists
-and membership deltas, one-pass aggregations for counts/nulls, window
-counts for duplicates, join + struct-explode melt for cell mismatches —
-so filters/pruning push into the scans and everything stays in
-whole-stage codegen. Allowlists and the sign-off overlay are tiny and
-always broadcast.
+built only from Catalyst primitives — anti-joins for allowlists and
+membership deltas (no forced broadcast: allowlists scale with the data,
+so AQE picks the join strategy), one-pass aggregations for counts/nulls,
+window counts for duplicates, join + struct-explode melt for cell
+mismatches — so filters/pruning push into the scans and everything stays
+in whole-stage codegen. Only the human-produced sign-off overlay (bounded
+by reviewer throughput, not data size) keeps an explicit broadcast.
 
 Reference parity (file:line cites for the judge):
   O3  normalize_key            src/validate.py:59-60
@@ -102,7 +103,11 @@ def row_counts(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> DataFra
             marker = allow.select(
                 F.col(pk).alias("_allow_pk"), F.lit(True).alias("_allowed")
             )
-            df = df.join(F.broadcast(marker), F.col(pk) == F.col("_allow_pk"), "left")
+            # no broadcast hint: a broadcast still collects the build side
+            # to the driver, and the allowlist scales with the data — AQE
+            # broadcasts small lists automatically and falls back to a
+            # shuffled join for large ones
+            df = df.join(marker, F.col(pk) == F.col("_allow_pk"), "left")
             in_allow = F.col("_allowed").isNotNull()
         else:
             in_allow = F.lit(False)
@@ -194,13 +199,15 @@ def schema_comparison(old: DataFrame, new: DataFrame) -> DataFrame:
 # -- O8: membership deltas (anti-joins) -----------------------------------------------
 
 def only_in_old(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> DataFrame:
-    """Rows of OLD whose key is absent from NEW and not allowlisted:
-    two left-anti joins; the allowlist side is broadcast."""
+    """Rows of OLD whose key is absent from NEW and not allowlisted: two
+    left-anti joins. No broadcast hint on the allowlist — it scales with
+    the data, and a forced broadcast collects it to the driver; AQE picks
+    broadcast for small lists and a shuffled anti join for large ones."""
     pk = cfg.primary_key
     out = old.join(new.select(pk).distinct(), pk, "left_anti")
     allow = allowlist_df(old.sparkSession, cfg.allowed_deletions, pk)
     if allow is not None:
-        out = out.join(F.broadcast(allow), pk, "left_anti")
+        out = out.join(allow, pk, "left_anti")
     return out
 
 
@@ -209,7 +216,7 @@ def only_in_new(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> DataFr
     out = new.join(old.select(pk).distinct(), pk, "left_anti")
     allow = allowlist_df(new.sparkSession, cfg.allowed_additions, pk)
     if allow is not None:
-        out = out.join(F.broadcast(allow), pk, "left_anti")
+        out = out.join(allow, pk, "left_anti")
     return out
 
 
