@@ -62,9 +62,13 @@ class ApplyStats:
     epoch: int
     skipped: bool
     events_seen: int = 0
-    # rows written across touched buckets (from parquet footers);
-    # None = footers unreadable (unknown), never a sentinel count
-    merged_rows: int | None = 0
+    # rows physically written by this epoch's commit (from parquet
+    # footers). MODE-DEPENDENT by design: in mor mode this is the epoch's
+    # delta winners; in cow mode it is the full rewritten content of the
+    # touched buckets — the checkpoint metric is emitted as
+    # rows_written_<mode> so the two are never conflated in a series.
+    # None = footers unreadable (unknown), never a sentinel count.
+    rows_written: int | None = 0
     buckets_touched: int = 0
     seconds: float = 0.0
 
@@ -75,8 +79,8 @@ class CDCApplyEngine:
         spark: SparkSession,
         table_path: str,
         checkpoint_path: str,
-        key_col: str = "url",
-        num_buckets: int = 32,
+        key_col: str | None = None,
+        num_buckets: int | None = None,
         use_pandas_lww: bool = False,
         n_salts: int = 16,
         in_batch_prededup: bool = False,
@@ -109,9 +113,12 @@ class CDCApplyEngine:
         if merge_mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
         self.spark = spark
+        # key_col/num_buckets are TABLE properties: None adopts an existing
+        # table's recorded values (or url/32 for a new table); a conflicting
+        # explicit value raises in the LakeTable constructor
         self.lake = LakeTable(table_path, key_col=key_col, num_buckets=num_buckets)
         self.ckpt = CheckpointStore(checkpoint_path)
-        self.key_col = key_col
+        self.key_col = self.lake.key_col
         self.use_pandas_lww = use_pandas_lww
         self.in_batch_prededup = in_batch_prededup
         self.n_salts = n_salts
@@ -145,6 +152,14 @@ class CDCApplyEngine:
             return ApplyStats(epoch=epoch, skipped=True)
 
         key = self.key_col
+        # tombstone-GC retention gate: events at or before the recorded
+        # horizon are contractually too late (their tombstones may already
+        # be physically gone) — admitting one could resurrect a GC'd
+        # deleted key, so they are dropped here, before BOTH evaluations
+        # of the plan (lineage pre-scan and merge see the same rows)
+        horizon = self.lake.gc_horizon()
+        if horizon is not None:
+            events = events.where(F.col("warc_ts") > F.to_timestamp(F.lit(horizon)))
         # 2. lineage pre-scan: per-bucket source offsets + event counts
         # from ONLY (key, seq) — column pruning keeps the html payload out
         # of this job entirely (at a parquet source this is a 2-column scan).
@@ -200,7 +215,7 @@ class CDCApplyEngine:
             merged = conform(winners, target).withColumn(
                 BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
             )
-            committed, merged_rows = self.lake.commit(
+            committed, rows_written = self.lake.commit(
                 merged,
                 touched_buckets=touched,
                 epoch=epoch,
@@ -251,7 +266,7 @@ class CDCApplyEngine:
             merged = lww_window_bucketed(
                 merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
             )
-            committed, merged_rows = self.lake.commit(
+            committed, rows_written = self.lake.commit(
                 merged,
                 touched_buckets=touched,
                 epoch=epoch,
@@ -280,10 +295,17 @@ class CDCApplyEngine:
                 {"epoch": epoch, "stage": "apply", "metric": "buckets_touched", "value": float(len(touched))},
                 {"epoch": epoch, "stage": "apply", "metric": "seconds", "value": dt},
             ]
-            if merged_rows is not None:  # omit when footers were unreadable
+            if rows_written is not None:  # omit when footers were unreadable
+                # mode-tagged: mor counts delta winners, cow counts full
+                # rewritten buckets — not comparable, so never one series
                 metrics.insert(
                     1,
-                    {"epoch": epoch, "stage": "apply", "metric": "merged_rows", "value": float(merged_rows)},
+                    {
+                        "epoch": epoch,
+                        "stage": "apply",
+                        "metric": f"rows_written_{self.merge_mode}",
+                        "value": float(rows_written),
+                    },
                 )
             self.ckpt.append_metrics(metrics)
         if crash_after_commit:
@@ -291,12 +313,18 @@ class CDCApplyEngine:
         self.ckpt.write_epoch(epoch)
 
         # periodic compaction: fold accumulated delta files into base
-        # files so read-side merge cost stays bounded
+        # files so read-side merge cost stays bounded. Triggered on the
+        # ACCUMULATED delta depth (max delta files on any bucket, from the
+        # manifest — no job), not on the epoch number: an epoch-modulo
+        # trigger that crashes between checkpoint and compact() never
+        # reruns (replay hits the idempotency guard), letting deltas pile
+        # up until the next boundary; a state-based trigger self-heals on
+        # the next applied epoch.
         if (
             committed
             and self.merge_mode == "mor"
             and self.compact_every
-            and (epoch + 1) % self.compact_every == 0
+            and self.lake.current_snapshot().delta_depth() >= self.compact_every
         ):
             n_compacted = self.lake.compact(self.spark)
             if n_compacted:
@@ -315,7 +343,7 @@ class CDCApplyEngine:
             epoch=epoch,
             skipped=not committed,
             events_seen=int(n_events),
-            merged_rows=None if merged_rows is None else int(merged_rows),
+            rows_written=None if rows_written is None else int(rows_written),
             buckets_touched=len(touched),
             seconds=time.monotonic() - t0,
         )

@@ -101,6 +101,10 @@ class Snapshot:
     summary: dict
     # merge-on-read delta files, same shape as file_groups
     delta_groups: dict[str, dict[str, list[str]]] = None  # type: ignore[assignment]
+    # tombstone-GC retention horizon (ISO timestamp string) — events at or
+    # before this warc_ts are contractually too late and are dropped at
+    # apply time, which is what makes tombstone removal safe
+    gc_horizon: str | None = None
 
     def __post_init__(self):
         if self.delta_groups is None:
@@ -115,6 +119,24 @@ class Snapshot:
     def delta_buckets(self) -> set[int]:
         return {int(b) for by_bucket in self.delta_groups.values() for b in by_bucket}
 
+    def all_buckets(self) -> set[int]:
+        return {
+            int(b)
+            for groups in (self.file_groups, self.delta_groups)
+            for by_bucket in groups.values()
+            for b in by_bucket
+        }
+
+    def delta_depth(self) -> int:
+        """Max number of delta files stacked on any one bucket — the
+        read-side merge cost driver (each delta commit adds ~1 file per
+        touched bucket). Driver-side manifest arithmetic, no Spark job."""
+        per_bucket: dict[int, int] = {}
+        for by_bucket in self.delta_groups.values():
+            for b, files in by_bucket.items():
+                per_bucket[int(b)] = per_bucket.get(int(b), 0) + len(files)
+        return max(per_bucket.values(), default=0)
+
 
 class LakeTable:
     """Bucket-partitioned, snapshot-committed keyed table."""
@@ -122,19 +144,55 @@ class LakeTable:
     def __init__(
         self,
         path: str,
-        key_col: str = "url",
-        num_buckets: int = 32,
-        order_cols: tuple[str, ...] = ("warc_ts", "seq"),
+        key_col: str | None = None,
+        num_buckets: int | None = None,
+        order_cols: tuple[str, ...] | None = None,
     ):
+        """Open (or create) a lake table.
+
+        ``key_col`` / ``num_buckets`` / ``order_cols`` are TABLE
+        properties, recorded in every manifest: on an existing table the
+        manifest's values win, and passing a DIFFERENT value raises —
+        re-bucketing rows with the wrong count would put them in wrong
+        bucket ids, which bucket-pruned reads then silently miss
+        (duplicate/resurrected keys). ``None`` (the default) means "use
+        the table's recorded properties", falling back to
+        url/32/(warc_ts, seq) only when creating a brand-new table.
+        Changing the bucket count of a live table goes through
+        :meth:`rebucket`, never through the constructor."""
         self.path = path
-        self.key_col = key_col
-        self.num_buckets = num_buckets
-        # total LWW order used to merge base+delta rows per key at read time
-        self.order_cols = tuple(order_cols)
         self.meta_dir = os.path.join(path, "_meta")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        stored = self._stored_props()
+        if stored is not None:
+            for name, passed, have in [
+                ("key_col", key_col, stored["key_col"]),
+                ("num_buckets", num_buckets, stored["num_buckets"]),
+                ("order_cols", tuple(order_cols) if order_cols else None, tuple(stored["order_cols"])),
+            ]:
+                if passed is not None and passed != have:
+                    raise ValueError(
+                        f"table {path} was created with {name}={have!r}; "
+                        f"got {name}={passed!r} — table properties are fixed "
+                        "at creation (use rebucket() to change the bucket count)"
+                    )
+            self.key_col = stored["key_col"]
+            self.num_buckets = int(stored["num_buckets"])
+            self.order_cols = tuple(stored["order_cols"])
+        else:
+            self.key_col = key_col or "url"
+            self.num_buckets = num_buckets or 32
+            # total LWW order used to merge base+delta rows per key at read
+            self.order_cols = tuple(order_cols or ("warc_ts", "seq"))
+
+    def _stored_props(self) -> dict | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return json.load(f).get("table")
 
     # -- snapshot bookkeeping -------------------------------------------------
 
@@ -158,7 +216,13 @@ class LakeTable:
             file_groups=m["file_groups"],
             summary=m.get("summary", {}),
             delta_groups=m.get("delta_groups", {}),
+            gc_horizon=m.get("gc_horizon"),
         )
+
+    def gc_horizon(self) -> str | None:
+        """Current tombstone-GC retention horizon (ISO timestamp) or None."""
+        snap = self.current_snapshot()
+        return snap.gc_horizon if snap else None
 
     def epochs_applied(self) -> set[int]:
         snap = self.current_snapshot()
@@ -245,6 +309,7 @@ class LakeTable:
         schema: StructType,
         summary: dict | None = None,
         mode: str = "rewrite",
+        gc_horizon: str | None = None,
     ) -> tuple[bool, int]:
         """Atomically commit one epoch and publish the new manifest.
 
@@ -361,6 +426,9 @@ class LakeTable:
             rows_written = None  # footer stats unavailable; not fatal —
             # callers must treat None as "unknown", never as a count
 
+        prev_horizon = prev.gc_horizon if prev else None
+        # ISO strings compare chronologically; the horizon only advances
+        horizon = max(filter(None, [prev_horizon, gc_horizon]), default=None)
         manifest = {
             "version": version,
             "epochs": sorted(applied | {epoch}) if epoch is not None else sorted(applied),
@@ -368,6 +436,12 @@ class LakeTable:
             "file_groups": file_groups,
             "delta_groups": delta_groups,
             "summary": {**(summary or {}), "epoch": epoch},
+            "table": {
+                "key_col": self.key_col,
+                "num_buckets": self.num_buckets,
+                "order_cols": list(self.order_cols),
+            },
+            "gc_horizon": horizon,
         }
         _atomic_write(os.path.join(self.meta_dir, f"v{version}.json"), json.dumps(manifest))
         _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
@@ -376,23 +450,45 @@ class LakeTable:
     # -- compaction ------------------------------------------------------------
 
     def compact(
-        self, spark: SparkSession, buckets: set[int] | None = None
+        self,
+        spark: SparkSession,
+        buckets: set[int] | None = None,
+        gc_horizon_ts: str | None = None,
     ) -> int:
         """Fold delta files back into base files (merge-on-read →
         merge-on-write, amortized): LWW-merge base+delta for every bucket
         that has deltas (or the given subset), rewrite those buckets as
         new base files, and drop the consumed deltas — one atomic
         maintenance commit. Buckets without deltas are untouched. Returns
-        the number of compacted buckets."""
+        the number of compacted buckets.
+
+        ``gc_horizon_ts`` (ISO timestamp, e.g. ``"2024-01-01 12:00:00"``)
+        additionally garbage-collects tombstones: deleted rows whose
+        order timestamp is at or before the horizon are physically
+        dropped, and the horizon is recorded in the manifest so the apply
+        engine REFUSES events at or before it from then on — without that
+        gate, a late old update could resurrect a GC'd deleted key.
+        Tombstones newer than the horizon are kept (they still shield
+        their key from in-retention late events). A GC pass sweeps EVERY
+        bucket (tombstones live in base files too), so schedule it like
+        any full-table maintenance op, not per epoch. State grows with
+        live keys only once GC runs periodically — without it, every
+        deleted key leaves a tombstone forever."""
         snap = self.current_snapshot()
         if snap is None:
             return 0
-        targets = snap.delta_buckets()
+        targets = snap.all_buckets() if gc_horizon_ts else snap.delta_buckets()
         if buckets is not None:
             targets &= set(buckets)
         if not targets:
             return 0
-        merged = self.read(spark, buckets=targets, merge=True).withColumn(
+        merged = self.read(spark, buckets=targets, merge=True)
+        if gc_horizon_ts and "deleted" in merged.columns:
+            ts_col = self.order_cols[0]
+            merged = merged.where(
+                ~(F.col("deleted") & (F.col(ts_col) <= F.to_timestamp(F.lit(gc_horizon_ts))))
+            )
+        merged = merged.withColumn(
             BUCKET_COL, bucket_expr(F.col(self.key_col), self.num_buckets)
         )
         self.commit(
@@ -402,5 +498,61 @@ class LakeTable:
             schema=snap.schema,
             summary={"compacted_buckets": len(targets)},
             mode="rewrite",
+            gc_horizon=gc_horizon_ts,
         )
         return len(targets)
+
+    # -- bucket-count evolution -------------------------------------------------
+
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
+        """Change the table's bucket count — the maintenance op a growing
+        table needs: bucket count fixes merge/sort parallelism and
+        per-bucket task size, so a table that grew 100x needs more
+        buckets than it was created with. Reads the full merged state,
+        re-partitions it under the new bucket function, and publishes ONE
+        atomic rewrite commit whose manifest records the new count —
+        readers/writers opening the table after the swap use the new
+        property automatically (and stale writers that pass the old count
+        explicitly now fail the constructor check). Crash-safe: until the
+        manifest pointer flips, the old manifest (old count, old files)
+        stays current. Returns the new bucket count."""
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        snap = self.current_snapshot()
+        if snap is None:
+            self.num_buckets = new_num_buckets
+            return new_num_buckets
+        old_buckets = snap.all_buckets()
+        merged = self.read(spark, merge=True)
+        old_count = self.num_buckets
+        self.num_buckets = new_num_buckets
+        try:
+            if merged is None:
+                # empty table: publish a props-only manifest via an empty commit
+                data = spark.createDataFrame([], snap.schema).withColumn(
+                    BUCKET_COL, F.lit(0).cast("int")
+                )
+                touched = old_buckets or {0}
+            else:
+                # the merge's shuffle is keyed on the OLD bucket ids; one
+                # extra shuffle clusters rows by the new bucket function so
+                # each new bucket is written as ~one file (rare maintenance
+                # op — the cost is a single pass over the table)
+                data = merged.withColumn(
+                    BUCKET_COL, bucket_expr(F.col(self.key_col), new_num_buckets)
+                ).repartition(new_num_buckets, F.col(BUCKET_COL))
+                # every pre-existing bucket is replaced; every new-numbering
+                # bucket may be written
+                touched = old_buckets | set(range(new_num_buckets))
+            self.commit(
+                data,
+                touched_buckets=touched,
+                epoch=None,
+                schema=snap.schema,
+                summary={"rebucketed_from": old_count, "rebucketed_to": new_num_buckets},
+                mode="rewrite",
+            )
+        except Exception:
+            self.num_buckets = old_count  # commit never published; keep truth
+            raise
+        return new_num_buckets

@@ -61,12 +61,16 @@ def cmd_apply(args: argparse.Namespace) -> int:
 
     spark = _spark("dmv-apply")
     log = spark.read.parquet(args.log)
+    # an existing table's recorded properties win (None = adopt them);
+    # a brand-new table keeps the CLI's historical default of 64 buckets
+    is_new = not os.path.exists(os.path.join(args.table, "_meta", "CURRENT"))
+    buckets = args.buckets if args.buckets is not None else (64 if is_new else None)
     engine = CDCApplyEngine(
         spark,
         table_path=args.table,
         checkpoint_path=args.checkpoint,
         key_col=args.key,
-        num_buckets=args.buckets,
+        num_buckets=buckets,
         use_pandas_lww=args.pandas_lww,
         in_batch_prededup=args.prededup,
         merge_mode=args.merge_mode,
@@ -94,7 +98,7 @@ def cmd_apply(args: argparse.Namespace) -> int:
                     "epoch": st.epoch,
                     "skipped": st.skipped,
                     "applied_events": st.events_seen,
-                    "merged_rows": st.merged_rows,
+                    "rows_written": st.rows_written,
                     "buckets_touched": st.buckets_touched,
                     "seconds": round(st.seconds, 3),
                 }
@@ -109,9 +113,32 @@ def cmd_compact(args: argparse.Namespace) -> int:
     from data_migration_validation_spark.plans.lake import LakeTable
 
     spark = _spark("dmv-compact")
-    lake = LakeTable(args.table, key_col=args.key, num_buckets=args.buckets)
-    n = lake.compact(spark)
-    print(json.dumps({"command": "compact", "compacted_buckets": n}))
+    # key_col/num_buckets come from the table's own manifest — supplying
+    # them here was a corruption hazard (compacting under a wrong bucket
+    # count rewrites rows into wrong buckets, silently when the recomputed
+    # ids happen to stay inside the touched set)
+    lake = LakeTable(args.table)
+    n = lake.compact(spark, gc_horizon_ts=args.gc_horizon or None)
+    print(
+        json.dumps(
+            {
+                "command": "compact",
+                "compacted_buckets": n,
+                "gc_horizon": lake.gc_horizon(),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_rebucket(args: argparse.Namespace) -> int:
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    spark = _spark("dmv-rebucket")
+    lake = LakeTable(args.table)
+    old = lake.num_buckets
+    lake.rebucket(spark, args.buckets)
+    print(json.dumps({"command": "rebucket", "from": old, "to": args.buckets}))
     return 0
 
 
@@ -128,7 +155,7 @@ def cmd_reconcile(args: argparse.Namespace) -> int:
     )
     final = engine.read_final()
     expected = spark.read.parquet(args.expected)
-    diff = cogroup_reconcile(expected, final, key=args.key)
+    diff = cogroup_reconcile(expected, final, key=engine.key_col)
     if args.out:
         diff.orderBy("key", "column").write.mode("overwrite").option("header", True).csv(args.out)
     report = reconciliation_report(diff)
@@ -264,8 +291,19 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--log", required=True)
     a.add_argument("--table", required=True)
     a.add_argument("--checkpoint", required=True)
-    a.add_argument("--key", default="url")
-    a.add_argument("--buckets", type=int, default=64)
+    a.add_argument(
+        "--key",
+        default=None,
+        help="key column for a NEW table (an existing table's recorded "
+        "key wins; a conflicting value errors)",
+    )
+    a.add_argument(
+        "--buckets",
+        type=int,
+        default=None,
+        help="bucket count for a NEW table (default 64; an existing "
+        "table's recorded count wins — change it with the rebucket command)",
+    )
     a.add_argument("--pandas-lww", action="store_true")
     a.add_argument(
         "--prededup",
@@ -297,15 +335,25 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("compact", help="fold a table's delta files into its base files")
     c.add_argument("--table", required=True)
-    c.add_argument("--key", default="url")
-    c.add_argument("--buckets", type=int, default=64)
+    c.add_argument(
+        "--gc-horizon",
+        default="",
+        help="ISO timestamp: also drop tombstones at/before this time and "
+        "record the horizon so later events at/before it are refused "
+        "(run only when every source is caught up past it)",
+    )
     c.set_defaults(fn=cmd_compact)
+
+    rb = sub.add_parser("rebucket", help="change a table's bucket count (full rewrite)")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--buckets", type=int, required=True)
+    rb.set_defaults(fn=cmd_rebucket)
 
     r = sub.add_parser("reconcile", help="diff lake final state vs expected parquet")
     r.add_argument("--table", required=True)
     r.add_argument("--checkpoint", required=True)
     r.add_argument("--expected", required=True)
-    r.add_argument("--key", default="url")
+    r.add_argument("--key", default=None, help="defaults to the table's recorded key column")
     r.add_argument("--out", default="")
     r.set_defaults(fn=cmd_reconcile)
 

@@ -176,4 +176,6 @@ def test_lineage_accounting(replayed):
         assert lo <= row["source_offset_start"] <= row["source_offset_end"] < hi
     m = replayed.ckpt.metrics()
     assert (m[m.metric == "applied_events"].value > 0).all()
-    assert (m[m.metric == "merged_rows"].value > 0).all()
+    # mode-tagged write metric (mor: delta winners per epoch)
+    assert (m[m.metric == "rows_written_mor"].value > 0).all()
+    assert len(m[m.metric == "rows_written_mor"]) == CFG.n_epochs
