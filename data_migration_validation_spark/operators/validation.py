@@ -467,33 +467,185 @@ def check_summary(
     mismatches) and, when ``format_rules`` is given, one row per format
     check on the NEW dataset (docs/script.js:273-306; incl. the JS-only
     "Balance type and format" flavor, sample-report.html:69-72).
-    Aggregates tiny summaries driver-side (each input is a count)."""
+
+    Exactly TWO Spark actions regardless of check count (at 100 TB the
+    summary must not cost more than the checks themselves):
+
+    1. one unioned per-dataset aggregate over OLD+NEW — raw/adjusted
+       counts (allowlist marker join), duplicate surplus as
+       ``count(*) - count_distinct(pk) - has_null_key`` (= the
+       groupBy(pk) surplus without a second shuffle pass), one
+       ``sum(isNull)`` per required field, one ``sum(violates)`` per
+       format rule (NEW side only);
+    2. one full-outer key join of OLD×NEW aggregating membership deltas
+       (rows whose key is absent on the other side and not allowlisted —
+       identical semantics to the anti-join operators, incl. null keys
+       never matching) and the mismatch cell count
+       (``sum(size(filter(pairs, differ)))`` over both-present rows — the
+       same cross product ``cell_mismatches``'s inner join produces).
+    """
     spark = old.sparkSession
     pk = cfg.primary_key
+    fmt_items = list((format_rules or {}).items())
 
-    rc = {r["dataset"]: r for r in row_counts(old, new, cfg).collect()}
-    row_match = rc["OLD"]["adjusted_count"] == rc["NEW"]["adjusted_count"]
+    # ---- job 1: per-dataset signals, unioned, one groupBy ----
+    def signals(df: DataFrame, name: str, allow) -> DataFrame:
+        source_cols = df.columns
+        allow = allowlist_df(spark, allow, pk)
+        if allow is not None:
+            marker = allow.select(
+                F.col(pk).alias("_allow_pk"), F.lit(True).alias("_allowed")
+            )
+            df = df.join(marker, F.col(pk) == F.col("_allow_pk"), "left")
+            in_allow = F.col("_allowed").isNotNull()
+        else:
+            in_allow = F.lit(False)
+        cols = [
+            F.lit(name).alias("_ds"),
+            F.col(pk).alias("_pk"),
+            in_allow.cast("long").alias("_allowed_n"),
+        ]
+        for i, c in enumerate(cfg.required_fields):
+            cols.append(
+                _null_pred(F.col(c), cfg.empty_string_is_null).cast("long").alias(f"_null_{i}")
+                if c in source_cols
+                else F.lit(None).cast("long").alias(f"_null_{i}")
+            )
+        for j, (c, rule) in enumerate(fmt_items):
+            if name == "NEW":
+                pred = VALIDATOR_RULES[rule](F.col(c))
+                cols.append((F.col(c).isNotNull() & ~pred).cast("long").alias(f"_fmt_{j}"))
+            else:
+                cols.append(F.lit(None).cast("long").alias(f"_fmt_{j}"))
+        return df.select(*cols)
 
-    old_dups = duplicate_key_count(old, pk)
-    new_dups = duplicate_key_count(new, pk)
+    u = signals(old, "OLD", cfg.allowed_deletions).unionByName(
+        signals(new, "NEW", cfg.allowed_additions)
+    )
+    has_null_key = F.coalesce(
+        F.max(F.when(F.col("_pk").isNull(), F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+    )
+    per_ds = {
+        r["_ds"]: r
+        for r in u.groupBy("_ds")
+        .agg(
+            F.count("*").alias("raw"),
+            F.coalesce(F.sum("_allowed_n"), F.lit(0)).alias("allowed"),
+            (F.count("*") - F.count_distinct("_pk") - has_null_key).alias("dups"),
+            *[F.sum(f"_null_{i}").alias(f"_null_{i}") for i in range(len(cfg.required_fields))],
+            *[F.sum(f"_fmt_{j}").alias(f"_fmt_{j}") for j in range(len(fmt_items))],
+        )
+        .collect()
+    }
 
-    nulls = null_summary(old, new, cfg).collect()
+    def ds(name: str, field: str, default: int = 0) -> int:
+        r = per_ds.get(name)
+        v = r[field] if r is not None else None
+        return default if v is None else int(v)
+
+    raw_o, raw_n = ds("OLD", "raw"), ds("NEW", "raw")
+    adj_o = raw_o - ds("OLD", "allowed")
+    adj_n = raw_n - ds("NEW", "allowed")
+    old_dups, new_dups = ds("OLD", "dups"), ds("NEW", "dups")
+
+    # null counts render as strings; a field absent from a side is
+    # 'col-missing' (src/validate.py:98-99) — presence is driver-side
+    # schema metadata, no extra job
+    def null_str(name: str, df: DataFrame, i: int) -> str:
+        if cfg.required_fields[i] not in df.columns:
+            return "col-missing"
+        return str(ds(name, f"_null_{i}"))
+
+    nulls = [
+        (c, null_str("OLD", old, i), null_str("NEW", new, i))
+        for i, c in enumerate(cfg.required_fields)
+    ]
     null_ok = all(
-        not (r["old_nulls"].isdigit() and int(r["old_nulls"]) > 0)
-        and not (r["new_nulls"].isdigit() and int(r["new_nulls"]) > 0)
-        for r in nulls
+        not (o.isdigit() and int(o) > 0) and not (n.isdigit() and int(n) > 0)
+        for _, o, n in nulls
     )
 
-    miss = only_in_old(old, new, cfg).count()
-    extra = only_in_new(old, new, cfg).count()
-    n_mismatch = cell_mismatches(old, new, cfg).count()
+    # ---- job 2: full-outer key join — membership deltas + mismatch cells ----
+    cmp_cols = list(
+        cfg.compare_columns
+        if cfg.compare_columns is not None
+        else [c for c in old.columns if c != pk and c in new.columns]
+    )
+
+    def joinable(df: DataFrame, side: str, allow) -> DataFrame:
+        allow = allowlist_df(spark, allow, pk)
+        sel = [
+            F.col(pk).alias(f"_{side}pk"),
+            F.lit(1).alias(f"_{side}_present"),
+            *[F.col(c).alias(f"{side}_{c}") for c in cmp_cols],
+        ]
+        df = df.select(*sel)
+        if allow is not None:
+            marker = allow.select(
+                F.col(pk).alias("_allow_pk"), F.lit(True).alias(f"_{side}_allowed")
+            )
+            df = df.join(marker, F.col(f"_{side}pk") == F.col("_allow_pk"), "left").drop(
+                "_allow_pk"
+            )
+        else:
+            df = df.withColumn(f"_{side}_allowed", F.lit(None).cast("boolean"))
+        return df
+
+    j = joinable(old, "o", cfg.allowed_deletions).join(
+        joinable(new, "n", cfg.allowed_additions),
+        F.col("_opk") == F.col("_npk"),
+        "full_outer",
+    )
+
+    def norm(c: Column) -> Column:
+        cs = c.cast("string")
+        return F.coalesce(cs, F.lit("")) if cfg.empty_string_is_null else cs
+
+    pairs = F.array(
+        *[
+            F.struct(
+                norm(F.col(f"o_{c}")).alias("old_value"),
+                norm(F.col(f"n_{c}")).alias("new_value"),
+            )
+            for c in cmp_cols
+        ]
+    )
+    n_diff_cells = F.size(
+        F.filter(pairs, lambda p: ~p["old_value"].eqNullSafe(p["new_value"]))
+    )
+    both = F.col("_o_present").isNotNull() & F.col("_n_present").isNotNull()
+    mrow = j.agg(
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("_o_present").isNotNull()
+                    & F.col("_n_present").isNull()
+                    & F.col("_o_allowed").isNull()
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("miss"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("_n_present").isNotNull()
+                    & F.col("_o_present").isNull()
+                    & F.col("_n_allowed").isNull()
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("extra"),
+        F.coalesce(
+            F.sum(F.when(both, n_diff_cells).otherwise(F.lit(0))), F.lit(0)
+        ).alias("n_mismatch"),
+    ).collect()[0]
+    miss, extra, n_mismatch = int(mrow["miss"]), int(mrow["extra"]), int(mrow["n_mismatch"])
 
     rows = [
         (
             "Row count match",
-            "PASS" if row_match else "FAIL",
-            f"Old={rc['OLD']['raw_count']} (adj {rc['OLD']['adjusted_count']}), "
-            f"New={rc['NEW']['raw_count']} (adj {rc['NEW']['adjusted_count']})",
+            "PASS" if adj_o == adj_n else "FAIL",
+            f"Old={raw_o} (adj {adj_o}), New={raw_n} (adj {adj_n})",
         ),
         (
             "Primary key duplicates",
@@ -503,7 +655,7 @@ def check_summary(
         (
             "Nulls in required fields",
             "PASS" if null_ok else "WARN",
-            "; ".join(f"{r['field']}: Old={r['old_nulls']}, New={r['new_nulls']}" for r in nulls),
+            "; ".join(f"{c}: Old={o}, New={n}" for c, o, n in nulls),
         ),
         (
             "Missing/extra keys",
@@ -516,21 +668,13 @@ def check_summary(
             f"count={n_mismatch}",
         ),
     ]
-    if format_rules:
-        counts = {
-            r["column"]: r["n"]
-            for r in format_violations(new, pk, format_rules)
-            .groupBy("column")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        for col, rule in format_rules.items():
-            n = int(counts.get(col, 0))
-            rows.append(
-                (
-                    f"Format: {col} ({rule})",
-                    "PASS" if n == 0 else "WARN",
-                    f"violations={n}",
-                )
+    for j_, (col, rule) in enumerate(fmt_items):
+        n = ds("NEW", f"_fmt_{j_}")
+        rows.append(
+            (
+                f"Format: {col} ({rule})",
+                "PASS" if n == 0 else "WARN",
+                f"violations={n}",
             )
+        )
     return spark.createDataFrame(rows, "check string, status string, notes string")

@@ -141,8 +141,55 @@ def test_format_violations(tables):
 
 def test_check_summary_failures(spark, tables):
     old, new = tables
-    rows = {r["check"]: r["status"] for r in check_summary(old, new, CFG).collect()}
+    got = {r["check"]: r for r in check_summary(old, new, CFG).collect()}
+    rows = {k: r["status"] for k, r in got.items()}
     assert rows["Row count match"] == "FAIL"
     assert rows["Primary key duplicates"] == "FAIL"
     assert rows["Nulls in required fields"] == "WARN"
     assert rows["Missing/extra keys"] == "FAIL"
+    # pinned notes: duplicate surplus from count-distinct, null counts per
+    # field, membership deltas, and the dup-key cross-product mismatch count
+    # (key 2's two OLD rows each diff on email+balance, key 3 nulls-vs-empty
+    # on email = 5 cells) — same values the per-operator jobs produced
+    assert got["Primary key duplicates"]["notes"] == "Old dupes=1, New dupes=0"
+    assert got["Row count match"]["notes"] == "Old=6 (adj 6), New=5 (adj 5)"
+    assert got["Nulls in required fields"]["notes"] == "email: Old=1, New=0; phone: Old=0, New=0"
+    assert got["Missing/extra keys"]["notes"] == "Only in old=2, only in new=2"
+    assert got["Value mismatches"]["notes"] == "count=5"
+
+
+def test_check_summary_two_actions(spark, tables, monkeypatch):
+    """The summary must cost exactly 2 Spark actions no matter how many
+    checks are configured (VERDICT r2 #7: it used to run ~8 scans)."""
+    old, new = tables
+    # patch the CONCRETE DataFrame class (pyspark 4 routes the public
+    # pyspark.sql.DataFrame API through classic/connect subclasses)
+    df_cls = type(old)
+    calls = {"n": 0}
+    real_collect = df_cls.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return real_collect(self)
+
+    monkeypatch.setattr(df_cls, "collect", counting_collect)
+    cfg = ValidationConfig(
+        primary_key="id",
+        required_fields=["email", "phone", "ghost"],
+        compare_columns=["email", "balance"],
+        allowed_deletions=frozenset({"4"}),
+        allowed_additions=frozenset({"6"}),
+    )
+    summary = check_summary(
+        old, new, cfg,
+        format_rules={"email": "email_format", "balance": "non_negative_number"},
+    )
+    assert calls["n"] == 2  # one per-dataset agg + one membership/mismatch join
+    got = {r["check"]: r for r in real_collect(summary)}
+    # allowlists fold into the same two jobs: 4 allowlisted away on each side
+    assert got["Row count match"]["notes"] == "Old=6 (adj 5), New=5 (adj 4)"
+    assert got["Missing/extra keys"]["notes"] == "Only in old=1, only in new=1"
+    assert got["Nulls in required fields"]["notes"].endswith("ghost: Old=col-missing, New=col-missing")
+    assert got["Format: email (email_format)"]["status"] == "WARN"   # not-an-email + empty
+    assert got["Format: email (email_format)"]["notes"] == "violations=2"
+    assert got["Format: balance (non_negative_number)"]["notes"] == "violations=1"  # 'abc'
