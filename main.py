@@ -48,7 +48,8 @@ def cmd_generate(args: argparse.Namespace) -> int:
         evo2_epoch=args.evo2_epoch,
         evo3_epoch=args.evo3_epoch,
     )
-    synth_binlog(spark, cfg).write.mode("overwrite").parquet(args.out)
+    # epoch-partitioned log: apply's per-epoch reads prune to one directory
+    synth_binlog(spark, cfg).write.mode("overwrite").partitionBy("batch_epoch").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"command": "generate", "out": args.out, "events": n, "epochs": cfg.n_epochs}))
     return 0
@@ -257,6 +258,24 @@ def cmd_validate(args: argparse.Namespace) -> int:
         summary = V.annotate_check_signoff(summary, ver_checks)
     sink(summary, "checks", single_file=True)
     rows = summary.collect()
+    if args.html:
+        from data_migration_validation_spark.report import render_report
+
+        slice_df = V.proof(mism, [args.pk, "column"], limit=V.INLINE_MAX_ROWS)
+        mism_rows = [tuple(r) for r in slice_df.collect()]
+        compare_cols = list(cfg.compare_columns or [])
+        if not compare_cols:
+            compare_cols = [c for c in old.columns if c != args.pk and c in new.columns]
+        page = render_report(
+            pk=args.pk,
+            columns=compare_cols,
+            check_rows=[r.asDict() for r in rows],
+            mismatch_cols=list(slice_df.columns),
+            mismatch_rows=mism_rows,
+            subtitle=f"OLD: {args.old} — NEW: {args.new}",
+        )
+        with open(os.path.join(args.out, "report.html"), "w") as fh:
+            fh.write(page)
     print(
         json.dumps(
             {
@@ -373,6 +392,13 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         help="verification.json sign-off overlay: annotates mismatches and "
         "checks with verified/by/at (reference src/validate.py:21-32)",
+    )
+    v.add_argument(
+        "--html",
+        action="store_true",
+        help="also write <out>/report.html — the reference's static report "
+        "page (sample-report.html structure) over the computed checks and "
+        "the proof-capped mismatch slice",
     )
     v.add_argument(
         "--format-rules",

@@ -55,6 +55,7 @@ def test_validate_cli_reference_goldens(spark, tmp_path):
             "--verification", f"{REF}/verification.json",
             "--format-rules", "email=email_format", "dob=date_format",
             "balance=non_negative_number",
+            "--html",
         ]
     )
     # row-count check FAILs in the reference report? No: adjusted counts
@@ -90,6 +91,24 @@ def test_validate_cli_reference_goldens(spark, tmp_path):
     assert by_check["Format: email (email_format)"]["status"] == "PASS"
     assert by_check["Row count match"]["verified"] == "true"
     assert by_check["Row count match"]["verified_by"] == "Mohan"
+
+    # --html writes the reference-shaped static report over the same run
+    # (sample-report.html pills + check table + mismatch slice)
+    page = open(os.path.join(out, "report.html")).read()
+    assert "<h1>Data Migration Validation Report</h1>" in page
+    assert 'Primary key: <strong>customer_id</strong>' in page
+    assert "OLD total: <strong>1000</strong>" in page
+    assert "NEW total: <strong>998</strong>" in page
+    assert "Mismatches: <strong>48</strong>" in page
+    assert "Mismatched Cells (48 of 48)" in page
+    assert '<span class="warn">WARN</span>' in page  # Value mismatches pill
+    assert page.count('<span class="fail">') == 0     # golden run has no FAILs
+    # a golden mismatch row renders, sign-off column present (verification
+    # overlay was supplied)
+    golden_row = golden.iloc[0]
+    assert f"<td>{golden_row['customer_id']}</td>" in page
+    assert "<th>Sign-off</th>" in page
+    assert "&#10003; Mohan" in page  # signed-off check renders its reviewer
 
 
 def test_generate_apply_reconcile_roundtrip(spark, tmp_path):
