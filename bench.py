@@ -84,7 +84,10 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="dmv-bench-")
     try:
         log_path = f"{tmp}/log"
-        synth_binlog(spark, cfg).write.mode("overwrite").parquet(log_path)
+        # epoch-partitioned: each timed epoch read prunes to one directory
+        synth_binlog(spark, cfg).write.mode("overwrite").partitionBy(
+            "batch_epoch"
+        ).parquet(log_path)
         log = spark.read.parquet(log_path)
         events_applied = log.count()
 

@@ -111,7 +111,12 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = doc_changes(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="dmv-cdc-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    changes.write.mode("overwrite").parquet(f"{tmp}/log")
+    # epoch-partitioned log: the per-epoch replay filter prunes to one
+    # directory instead of re-scanning the whole log's row groups each
+    # epoch (batch_epoch is envelope-only — the engine drops it before
+    # the merge, so the partition column's int read-back type never
+    # reaches the schema registry)
+    changes.write.mode("overwrite").partitionBy("batch_epoch").parquet(f"{tmp}/log")
     log = spark.read.parquet(f"{tmp}/log")
     n_epochs = log.agg(F.max("batch_epoch")).collect()[0][0] + 1
     engine = CDCApplyEngine(
