@@ -197,6 +197,108 @@ FROM (
 """
 
 
+def windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the events table — the batch twin of
+    the streaming `windowed_ingest_stats` (streaming/aggregates.py), so
+    the window semantics the watermark test exercises are also
+    oracle-checked against SQL `time_bucket`."""
+    from data_migration_validation_spark.streaming.aggregates import (
+        windowed_event_stats as _wes,
+    )
+
+    return _wes(_t(spark, sf_dir, "events"))
+
+
+def windowed_event_stats_oracle() -> str:
+    return """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def session_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollup (30-minute inactivity gap) via Spark's
+    merging ``session_window``; the oracle is the classic gaps-and-islands
+    SQL, proving the built-in's merge semantics bit-for-bit."""
+    from data_migration_validation_spark.streaming.aggregates import (
+        session_event_stats as _ses,
+    )
+
+    return _ses(_t(spark, sf_dir, "events"))
+
+
+def session_event_stats_oracle() -> str:
+    return """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT *, sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def evt_asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the user's most recent
+    PRIOR non-purchase event (their "state" at purchase time). Spark has
+    no native as-of join — operators/asof.py implements the union-merge
+    window shape (one shuffle, no range-join blowup); DuckDB's native
+    ASOF JOIN is the oracle."""
+    from data_migration_validation_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    dim = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    # as-of precondition: at most one version per (key, ts) — LWW on event_id
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dim = dim.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    return asof_join(facts, dim, key="user_id", ts="ts", how="inner")
+
+
+def evt_asof_user_state_oracle() -> str:
+    return """
+WITH facts AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+dim AS (
+  SELECT user_id, ts, event_id, event_type, value
+  FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY user_id, ts ORDER BY event_id DESC
+           ) AS rn
+    FROM events WHERE event_type <> 'purchase'
+  ) WHERE rn = 1
+)
+SELECT f.user_id, f.ts, f.event_id, f.value,
+       d.ts AS ts_dim, d.event_id AS event_id_dim,
+       d.event_type AS event_type, d.value AS value_dim
+FROM facts f ASOF JOIN dim d
+  ON f.user_id = d.user_id AND f.ts >= d.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Validation operator queries (SURVEY.md §2 O4–O11) over the derived
 # customer OLD/NEW snapshot pair (snapshots.py — same derivation in SQL)
@@ -308,6 +410,46 @@ def val_format_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return format_violations(old, "c_custkey", {"email": "email_format"})
+
+
+def val_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over the NEW snapshot — counts, nulls,
+    distincts, min/max, mean/median per column in ONE aggregation job
+    (operators/validation.py:column_profile)."""
+    from data_migration_validation_spark.operators.validation import column_profile
+
+    return column_profile(new_customers(spark, sf_dir))
+
+
+def _profile_col_sql(c: str, numeric: bool) -> str:
+    mean = f"round(avg(CAST({c} AS DOUBLE)), 4)" if numeric else "CAST(NULL AS DOUBLE)"
+    med = (
+        f"round(quantile_cont(CAST({c} AS DOUBLE), 0.5), 4)"
+        if numeric
+        else "CAST(NULL AS DOUBLE)"
+    )
+    return f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value,
+       {mean} AS mean, {med} AS median
+FROM new_snap"""
+
+
+def val_column_profile_oracle() -> str:
+    parts = [
+        _profile_col_sql(c, num)
+        for c, num in [
+            ("c_custkey", True),
+            ("c_name", False),
+            ("c_nationkey", True),
+            ("c_acctbal", True),
+            ("c_mktsegment", False),
+        ]
+    ]
+    return SNAPSHOT_CTES + " UNION ALL ".join(parts)
 
 
 def _drifted_new(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,6 +749,10 @@ REGISTRY: dict[str, tuple] = {
     **CORPUS_REGISTRY,
     "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
     "lww_events": (lww_events, lww_events_oracle()),
+    "windowed_event_stats": (windowed_event_stats, windowed_event_stats_oracle()),
+    "session_event_stats": (session_event_stats, session_event_stats_oracle()),
+    "evt_asof_user_state": (evt_asof_user_state, evt_asof_user_state_oracle()),
+    "val_column_profile": (val_column_profile, val_column_profile_oracle()),
     "val_row_counts": (val_row_counts, _VAL_ORACLES["val_row_counts"]),
     "val_only_in_old": (val_only_in_old, _VAL_ORACLES["val_only_in_old"]),
     "val_only_in_new": (val_only_in_new, _VAL_ORACLES["val_only_in_new"]),

@@ -103,6 +103,34 @@ def test_full_replay_matches_oracle(spark, replayed, binlog):
     assert bad == 0
 
 
+def test_epoch_partitioned_log_prunes_and_matches(spark, binlog, tmp_path):
+    """The production log layout (generate CLI / bench / flagship) writes
+    the binlog partitioned by batch_epoch: the per-epoch replay filter
+    must become a PARTITION prune (directory skip), not a row-group scan,
+    and the replay over that layout must reach the same final state."""
+    path = str(tmp_path / "plog")
+    binlog.write.mode("overwrite").partitionBy("batch_epoch").parquet(path)
+    plog = spark.read.parquet(path)
+
+    sliced = plog.where(F.col("batch_epoch") == 1).drop("is_dup")
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    # the epoch predicate sits in the partition filters, so the data
+    # filters are empty — nothing left to evaluate against row groups
+    part_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "batch_epoch" in part_line, plan
+
+    engine = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "table"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        num_buckets=8,
+    )
+    for epoch in range(CFG.n_epochs):
+        engine.apply_epoch(plog.where(F.col("batch_epoch") == epoch), epoch)
+    _assert_final_matches(spark, engine, binlog)
+
+
 def test_replay_is_idempotent(spark, replayed, binlog):
     v_before = replayed.lake.current_version()
     for epoch in range(CFG.n_epochs):
