@@ -299,6 +299,92 @@ FROM facts f ASOF JOIN dim d
 """
 
 
+def evt_range_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchases that happened within 30 minutes
+    AFTER an error by the same user. operators/range_join.py implements
+    the bucketed-overlap shape (equi-join on (key, time-bucket), exact
+    predicate on survivors) — no per-key cartesian; DuckDB's plain
+    BETWEEN range join is the oracle."""
+    from data_migration_validation_spark.operators.range_join import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    intervals = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("err_end"),
+        F.col("event_id").alias("err_id"),
+    )
+    return range_join(
+        facts,
+        intervals,
+        key="user_id",
+        ts="ts",
+        start="err_start",
+        end="err_end",
+        granularity="30 minutes",
+    )
+
+
+def evt_range_after_error_oracle() -> str:
+    return """
+SELECT p.user_id, p.ts, p.event_id, p.value,
+       e.ts AS err_start, e.ts + INTERVAL 30 MINUTE AS err_end,
+       e.event_id AS err_id
+FROM events p JOIN events e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+"""
+
+
+def rollup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous rollup (hypertable continuous-aggregate shape): split
+    the events table into 4 hash epochs, maintain a daily
+    (window, event_type) rollup INCREMENTALLY — each epoch commits only
+    its own partial aggregates, a mid-stream compact() folds them — and
+    read the merged result. The oracle aggregates all events in one SQL
+    GROUP BY: the match proves the epoch-partial monoid merge equals the
+    batch aggregate regardless of split, replay, or compaction
+    (plans/rollup.py)."""
+    from data_migration_validation_spark.plans.rollup import (
+        ContinuousRollup,
+        RollupSpec,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_epoch", F.pmod(F.xxhash64("event_id"), F.lit(4)).cast("int")
+    )
+    tmp = tempfile.mkdtemp(prefix="dmv-rollup-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    rollup = ContinuousRollup(
+        spark,
+        f"{tmp}/rollup",
+        RollupSpec(ts_col="ts", window="1 day", dims=("event_type",), sums={"sum_value": "value"}),
+    )
+    for epoch in range(4):
+        rollup.apply_epoch(ev.where(F.col("_epoch") == epoch).drop("_epoch"), epoch)
+        if epoch == 2:  # merged read must be invariant through compaction
+            rollup.compact()
+    merged = rollup.read().withColumn("sum_value", F.round("sum_value", 4))
+    merged.write.mode("overwrite").parquet(f"{tmp}/merged")
+    return spark.read.parquet(f"{tmp}/merged")
+
+
+def rollup_event_stats_oracle() -> str:
+    return """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+       time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Validation operator queries (SURVEY.md §2 O4–O11) over the derived
 # customer OLD/NEW snapshot pair (snapshots.py — same derivation in SQL)
@@ -752,6 +838,8 @@ REGISTRY: dict[str, tuple] = {
     "windowed_event_stats": (windowed_event_stats, windowed_event_stats_oracle()),
     "session_event_stats": (session_event_stats, session_event_stats_oracle()),
     "evt_asof_user_state": (evt_asof_user_state, evt_asof_user_state_oracle()),
+    "evt_range_after_error": (evt_range_after_error, evt_range_after_error_oracle()),
+    "rollup_event_stats": (rollup_event_stats, rollup_event_stats_oracle()),
     "val_column_profile": (val_column_profile, val_column_profile_oracle()),
     "val_row_counts": (val_row_counts, _VAL_ORACLES["val_row_counts"]),
     "val_only_in_old": (val_only_in_old, _VAL_ORACLES["val_only_in_old"]),
