@@ -32,6 +32,9 @@ from data_migration_validation_spark.operators.dedup import cosine_sim
 _HP_MIX = 48271
 _HP_MOD = 2**31 - 1
 
+_IVF_MULT = 48271
+_IVF_ADD = 17
+
 
 def _hp_val(t: int, j: int, i: int) -> float:
     """Deterministic hyperplane coefficient in [-0.5, 0.5).
@@ -173,5 +176,121 @@ def lsh_topk(
     scored = candidates.select(
         F.col(id_col),
         F.round(cosine_sim(F.col(vec_col), query_vec), 6).alias("cos"),
+    )
+    return _topk_ranked(scored, id_col, k)
+
+
+# -- IVF-flat --------------------------------------------------------------
+
+
+def _cos_py(a, b) -> float:
+    """Driver-side cosine with the SAME left-to-right fold order as
+    ``cosine_sim``'s F.aggregate (and the oracle's list_reduce): identical
+    IEEE-double result, so a round-6 comparison agrees across all three."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    import math
+
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _round6(v: float) -> float:
+    """HALF_UP rounding to 6 places — Spark's round() and DuckDB's round()
+    both round half away from zero; Python's built-in round() is
+    banker's, which would disagree on exact .5 ulps."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def ivf_centroids(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", n_list: int = 16
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the ``n_list`` dataset vectors with
+    the smallest ``(id * 48271 + 17) % (2^31-1)`` — a reproducible uniform
+    sample (the same LCG mix the LSH hyperplanes use), expressible in SQL
+    so the whole IVF path has a DuckDB oracle. Returns [(cid, vector)]
+    with cid = rank order.
+
+    Sampled seeds ARE the centroids — no Lloyd iterations. k-means
+    refinement only moves centroids to reduce list imbalance; it is a
+    recall/balance knob, never a correctness knob (the rerank is exact
+    either way), and skipping it keeps centroid derivation a pure
+    function of the data. The collect is metadata-sized (n_list × dim
+    floats), the same scale as broadcasting a centroid codebook in any
+    production IVF index."""
+    rank = (F.col(id_col) * _IVF_MULT + _IVF_ADD) % F.lit(_HP_MOD)
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(rank.asc(), F.col(id_col).asc())
+        .limit(n_list)
+        .collect()
+    )
+    return [(cid, [float(x) for x in r[vec_col]]) for cid, r in enumerate(rows)]
+
+
+def ivf_assign_expr(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Per-row nearest-centroid id as a pure Column expression: an
+    array_max over (round-6 cosine, -cid) structs — highest cosine, ties
+    to the smallest cid. No join, no shuffle: assignment rides the scan
+    (in a real index build it is computed once and used as the write
+    partitioning, exactly like the lake's bucket column)."""
+    entries = [
+        F.struct(
+            F.round(cosine_sim(vec_col, F.array(*[F.lit(x) for x in cv])), 6).alias("cos"),
+            F.lit(-cid).alias("ncid"),
+        )
+        for cid, cv in centroids
+    ]
+    return (-F.array_max(F.array(*entries))["ncid"]).cast("int")
+
+
+def ivf_probe_cids(
+    query_values, centroids: list[tuple[int, list[float]]], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` centroid ids nearest the query (round-6 cosine,
+    ties to smaller cid) — driver-side twin of the oracle's probe CTE."""
+    scored = sorted(
+        ((-_round6(_cos_py(query_values, cv)), cid) for cid, cv in centroids),
+    )
+    return [cid for _negcos, cid in scored[:n_probe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_values,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN top-k: vectors partition into ``n_list`` inverted
+    lists by nearest coarse centroid; the query searches only its
+    ``n_probe`` nearest lists, exact-reranked. The complementary scale
+    path to ``lsh_topk``: LSH prunes by hash-bucket equality (good when
+    neighbors share sign patterns), IVF prunes by region (good when the
+    data is clustered) — candidate fraction ≈ n_probe / n_list of the
+    table instead of all of it.
+
+    Scale shape: centroid codebook is driver/broadcast-sized; assignment
+    is a per-row expression on the scan (no shuffle); the probe filter is
+    a literal IN-list (partition-prunable if the table is written
+    partitioned by list id); only ~n_probe/n_list of rows reach the
+    exact rerank, which remains TakeOrderedAndProject."""
+    cents = ivf_centroids(df, id_col, vec_col, n_list)
+    probes = ivf_probe_cids(query_values, cents, n_probe)
+    qv = F.array(*[F.lit(float(x)) for x in query_values])
+    candidates = df.where(ivf_assign_expr(F.col(vec_col), cents).isin(probes))
+    scored = candidates.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), qv), 6).alias("cos"),
     )
     return _topk_ranked(scored, id_col, k)

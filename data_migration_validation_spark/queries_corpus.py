@@ -33,6 +33,7 @@ from data_migration_validation_spark.operators.dedup import (
 from data_migration_validation_spark.operators.similarity import (
     brute_topk,
     hyperplane_sql,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -47,6 +48,8 @@ LSH_TABLES = 4
 LSH_BITS = 8
 LSH_PROBE_RADIUS = 2  # multi-probe: buckets within hamming 2 of the query's
 DIM = 64
+IVF_LIST = 16  # coarse centroids (inverted lists)
+IVF_PROBE = 4  # lists searched per query
 
 
 # -- corpus (Spark + SQL twins) ---------------------------------------------------
@@ -414,6 +417,69 @@ SELECT vec_id, cos, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        emb,
+        _query_vec_values(spark, sf_dir),
+        k=ANN_K,
+        n_list=IVF_LIST,
+        n_probe=IVF_PROBE,
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Round-trippable cosine between two DuckDB list expressions — the
+    same left-to-right double fold as operators/dedup.py:cosine_sim."""
+    def fold(x: str, y: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) "
+            f"for i in range(1, len({x})+1)]), (s, x) -> s + x)"
+        )
+
+    return f"({fold(a, b)} / (sqrt({fold(a, a)}) * sqrt({fold(b, b)})))"
+
+
+ANN_IVF_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+seeds AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY (vec_id * 48271 + 17) % 2147483647 ASC, vec_id ASC
+         ) AS rn
+  FROM embeddings
+),
+cent AS (SELECT CAST(rn - 1 AS INT) AS cid, embedding AS cv FROM seeds WHERE rn <= {IVF_LIST}),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY round({_cos_sql('qv', 'cv')}, 6) DESC, c.cid ASC
+           ) AS pr
+    FROM cent c, q
+  ) WHERE pr <= {IVF_PROBE}
+),
+assigned AS (
+  SELECT vec_id, embedding FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_cos_sql('e.embedding', 'cv')}, 6) DESC, c.cid ASC
+           ) AS ar
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE ar = 1 AND cid IN (SELECT cid FROM probe)
+),
+scored AS (
+  SELECT e.vec_id, round({_QDOT} / ({_QNORM_E} * {_QNORM_Q}), 6) AS cos
+  FROM assigned e, q
+)
+SELECT vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
 # -- multimodal: binary decode plumbing (documents' text encoded as the
 # opaque payload; Arrow mapInPandas byte stats vs SQL ascii math — ASCII
 # corpus so 1 char == 1 byte) ---------------------------------------------
@@ -449,4 +515,5 @@ CORPUS_REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
 }

@@ -9,7 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_migration_validation_spark.operators.similarity import brute_topk, lsh_topk
+from data_migration_validation_spark.operators.similarity import (
+    brute_topk,
+    ivf_topk,
+    lsh_topk,
+)
 
 
 def _physical_plan(df) -> str:
@@ -36,6 +40,21 @@ def test_lsh_topk_plans_take_ordered(spark, sf_dir):
     df = lsh_topk(_emb(spark, sf_dir), _qvec(spark, sf_dir), k=5, dim=64)
     plan = _physical_plan(df)
     assert "TakeOrderedAndProject" in plan
+    df.collect()
+
+
+def test_ivf_topk_plans_filter_then_take_ordered(spark, sf_dir):
+    """IVF candidate pruning must be a scan-side Filter (assignment is a
+    pure expression — no join, no aggregate, no exchange before the
+    rerank), finished by TakeOrderedAndProject."""
+    row = _emb(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    vals = [float(x) for x in row["embedding"]]
+    df = ivf_topk(_emb(spark, sf_dir), vals, k=5, n_list=8, n_probe=2)
+    plan = _physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    body = plan.split("TakeOrderedAndProject", 1)[1]
+    for op in ("Join", "HashAggregate", "Exchange", "Window"):
+        assert op not in body, f"unexpected {op} below the top-k:\n{plan}"
     df.collect()
 
 
