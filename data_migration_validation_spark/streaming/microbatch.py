@@ -23,6 +23,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 from data_migration_validation_spark.plans.apply import CDCApplyEngine
+from data_migration_validation_spark.plans.rollup import ContinuousRollup
 
 
 def stream_apply(
@@ -32,9 +33,16 @@ def stream_apply(
     schema: StructType,
     checkpoint_location: str,
     max_files_per_trigger: int = 1,
+    rollup: ContinuousRollup | None = None,
 ) -> StreamingQuery:
     """Start a streaming query that applies binlog parquet files to the
-    engine's lake table, one foreachBatch epoch per micro-batch."""
+    engine's lake table, one foreachBatch epoch per micro-batch.
+
+    With ``rollup``, the same batch_id-as-epoch also commits the batch's
+    partial aggregates to a ContinuousRollup — both sinks share the
+    idempotency key, so a replayed batch is a no-op in BOTH the lake and
+    the metrics table (exactly-once ingest monitoring for free; no
+    separate watermarked aggregation query to operate)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -43,6 +51,8 @@ def stream_apply(
 
     def apply_batch(batch_df, batch_id: int) -> None:
         engine.apply_epoch(batch_df, int(batch_id))
+        if rollup is not None:
+            rollup.apply_epoch(batch_df, int(batch_id))
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

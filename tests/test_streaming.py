@@ -60,6 +60,69 @@ def test_stream_apply_matches_oracle(spark, tmp_path):
     assert report == {}, f"stream apply diverged: {report}"
 
 
+def test_stream_apply_maintains_rollup_exactly_once(spark, tmp_path):
+    """stream_apply with a ContinuousRollup: the metrics table commits
+    under the SAME batch_id-as-epoch key as the lake, so after the stream
+    drains (and after a full restart-replay of the same source) the
+    merged rollup equals the one-shot batch aggregate over the log."""
+    import os
+    import shutil
+
+    from data_migration_validation_spark.plans.rollup import (
+        ContinuousRollup,
+        RollupSpec,
+    )
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    log = synth_binlog(spark, CFG).drop("is_dup")
+    for e in range(CFG.n_epochs):
+        staging = str(tmp_path / f"staging-{e}")
+        log.where(F.col("batch_epoch") == e).coalesce(1).write.parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.rename(os.path.join(staging, part), f"{log_dir}/epoch-{e}.parquet")
+
+    spec = RollupSpec(ts_col="warc_ts", window="1 hour", dims=("op",), sums={})
+    rollup = ContinuousRollup(spark, str(tmp_path / "rollup"), spec)
+    engine = CDCApplyEngine(
+        spark, table_path=str(tmp_path / "table"), checkpoint_path=str(tmp_path / "ckpt"), num_buckets=8
+    )
+    q = stream_apply(
+        spark, log_dir, engine, schema=log.schema,
+        checkpoint_location=str(tmp_path / "stream_ckpt"),
+        rollup=rollup,
+    )
+    q.awaitTermination(120)
+    assert len(rollup.epochs_applied()) >= 2, "expected multiple micro-batches"
+
+    def merged():
+        return {
+            (r["window_start"], r["op"]): r["n_events"]
+            for r in rollup.read().collect()
+        }
+
+    expected = {
+        (r["window_start"], r["op"]): r["n_events"]
+        for r in log.groupBy(F.window("warc_ts", "1 hour").alias("w"), "op")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "op", "n_events")
+        .collect()
+    }
+    assert merged() == expected
+
+    # restart from a WIPED streaming checkpoint: every batch redelivers;
+    # the rollup's epoch guard must make the replay a no-op (no
+    # double-counted windows)
+    shutil.rmtree(str(tmp_path / "stream_ckpt"))
+    q2 = stream_apply(
+        spark, log_dir, engine, schema=log.schema,
+        checkpoint_location=str(tmp_path / "stream_ckpt2"),
+        rollup=rollup,
+    )
+    q2.awaitTermination(120)
+    assert merged() == expected
+
+
 def _write_stream_file(spark, rows, schema, staging, dest, mtime):
     """One flat parquet file with a controlled modification time (the file
     source orders same-listing files by mtime, so batch order is pinned)."""
