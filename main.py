@@ -253,6 +253,10 @@ def cmd_validate(args: argparse.Namespace) -> int:
             "possible_rekeys",
             order=args.rekey_attr,
         )
+    if args.profile:
+        # pre-validation profiling: one aggregation job per side
+        sink(V.column_profile(old), "profile_old", single_file=True)
+        sink(V.column_profile(new), "profile_new", single_file=True)
     summary = V.check_summary(old, new, cfg, format_rules=format_rules or None)
     if args.verification:
         summary = V.annotate_check_signoff(summary, ver_checks)
@@ -392,6 +396,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         help="verification.json sign-off overlay: annotates mismatches and "
         "checks with verified/by/at (reference src/validate.py:21-32)",
+    )
+    v.add_argument(
+        "--profile",
+        action="store_true",
+        help="also write <out>/profile_{old,new} — per-column count/null/"
+        "distinct/min/max/mean/median, one aggregation job per side",
     )
     v.add_argument(
         "--html",

@@ -56,6 +56,7 @@ def test_validate_cli_reference_goldens(spark, tmp_path):
             "--format-rules", "email=email_format", "dob=date_format",
             "balance=non_negative_number",
             "--html",
+            "--profile",
         ]
     )
     # row-count check FAILs in the reference report? No: adjusted counts
@@ -78,6 +79,14 @@ def test_validate_cli_reference_goldens(spark, tmp_path):
     # the verification.json pairs, so all rows stay unverified)
     assert "verified" in mism.columns
     assert (mism["verified"] == "false").all()
+
+    # --profile: one row per column per side, raw row counts
+    prof = _read_csv_dir(os.path.join(out, "profile_new"))
+    assert set(prof["column"]) == {
+        "customer_id", "name", "email", "dob", "balance", "status",
+    }
+    assert (prof["n_rows"] == "998").all()
+    assert (_read_csv_dir(os.path.join(out, "profile_old"))["n_rows"] == "1000").all()
 
     for empty in [
         "only_in_old", "only_in_new", "duplicates_old", "duplicates_new",
