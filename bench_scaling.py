@@ -159,6 +159,29 @@ def worker(log_path: str, cpus: int, n_keys: int) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _run_worker(cmd: list[str], timeout: int) -> tuple[int | None, str, str]:
+    """Run one worker in its OWN process group so a timeout can kill the
+    whole tree (python + JVM + pyspark daemons) — a plain subprocess kill
+    leaks the grandchild JVM. Returns (returncode, stdout, stderr);
+    returncode None means timed out."""
+    import signal
+
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True,
+    )
+    try:
+        out, err = proc.communicate(timeout=timeout)
+        return proc.returncode, out, err
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+        return None, "", ""
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
@@ -166,6 +189,12 @@ def main() -> None:
     ap.add_argument("--log-path", default="")
     ap.add_argument("--keys", type=int, default=DEFAULT_KEYS)
     ap.add_argument("--repeats", type=int, default=3)
+    # observed failure mode on this host: a rare lost-wakeup deadlock on
+    # the JVM<->Python worker socket (JVM in epoll read, Python blocked
+    # mid-write of an Arrow batch) wedges one worker forever. The ladder
+    # must survive that: time the worker out, kill its process group,
+    # skip the sample, keep the run.
+    ap.add_argument("--worker-timeout", type=int, default=1800)
     args = ap.parse_args()
 
     if args.worker:
@@ -178,20 +207,40 @@ def main() -> None:
         n_events = generate(log_path, args.keys)
         samples: dict[int, list[dict]] = {c: [] for c in LEVELS}
         # interleave levels so host noise decorrelates from the level
-        for _rep in range(args.repeats):
+        for rep in range(args.repeats):
             for cpus in LEVELS:
-                proc = subprocess.run(
+                rc, out, err = _run_worker(
                     [
                         sys.executable, os.path.abspath(__file__),
                         "--worker", "--cpus", str(cpus),
                         "--log-path", log_path, "--keys", str(args.keys),
                     ],
-                    capture_output=True, text=True, timeout=3600,
+                    timeout=args.worker_timeout,
                 )
-                if proc.returncode != 0:
-                    sys.stderr.write(proc.stderr[-4000:])
-                    raise SystemExit(f"worker local[{cpus}] failed")
-                samples[cpus].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+                if rc is None:
+                    sys.stderr.write(
+                        f"[scaling] local[{cpus}] rep {rep}: TIMED OUT after "
+                        f"{args.worker_timeout}s (wedged worker killed); sample skipped\n"
+                    )
+                    continue
+                if rc != 0:
+                    sys.stderr.write(err[-4000:])
+                    sys.stderr.write(
+                        f"[scaling] local[{cpus}] rep {rep}: worker failed "
+                        f"(rc={rc}); sample skipped\n"
+                    )
+                    continue
+                sample = json.loads(out.strip().splitlines()[-1])
+                samples[cpus].append(sample)
+                # incremental log: a later crash must not lose earlier samples
+                sys.stderr.write(
+                    f"[scaling] local[{cpus}] rep {rep}: {sample['seconds']}s, "
+                    f"{sample['events_per_sec']} events/s\n"
+                )
+                sys.stderr.flush()
+        missing = [c for c in LEVELS if not samples[c]]
+        if missing:
+            raise SystemExit(f"no surviving samples for levels {missing}")
 
         best = {c: min(samples[c], key=lambda s: s["seconds"]) for c in LEVELS}
         lo, hi = min(LEVELS), max(LEVELS)
