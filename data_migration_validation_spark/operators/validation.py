@@ -682,9 +682,13 @@ def check_summary(
 
 # -- column profiler (pre-migration data profiling) ------------------------------------------------
 
-def column_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+def column_profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    approximate: bool = False,
+) -> DataFrame:
     """One row per column: count / nulls / distinct / min / max, plus
-    mean and exact median for numeric columns — the profile a migration
+    mean and median for numeric columns — the profile a migration
     team runs on both sides BEFORE wiring the validators (the reference
     assumes operators already know their columns; at web scale you
     don't).
@@ -695,11 +699,13 @@ def column_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataF
     exploding an array of structs INSIDE the plan — no driver-side loop
     over columns issuing a scan each.
 
-    Scale note: ``count(DISTINCT)`` and exact ``percentile`` are the
-    oracle-matchable choices here; at 100 TB swap to
-    ``approx_count_distinct`` and ``percentile_approx`` (same shape, no
-    Expand, sketch-mergeable) — the exact variants cost an Expand
-    multiple of the scan and a per-group sort respectively.
+    ``approximate=False`` (default) is the oracle-matchable profile:
+    exact ``count(DISTINCT)`` and exact ``percentile``. At 100 TB use
+    ``approximate=True`` — ``approx_count_distinct`` (HLL++) and
+    ``percentile_approx`` are sketch-mergeable partial aggregates, so the
+    whole profile is one map-side-combined pass with NO Expand multiple
+    of the scan and no per-group sort; distinct counts carry ~2% relative
+    error, the median a bounded rank error.
     """
     from pyspark.sql import types as T
 
@@ -710,16 +716,27 @@ def column_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataF
         if isinstance(f.dataType, T.NumericType)
     }
 
+    def nd(c: str) -> Column:
+        if approximate:
+            return F.approx_count_distinct(F.col(c))
+        return F.countDistinct(F.col(c))
+
+    def med(c: str) -> Column:
+        d = f"cast(`{c}` as double)"
+        if approximate:
+            return F.expr(f"percentile_approx({d}, 0.5, 10000)")
+        return F.expr(f"percentile({d}, 0.5)")
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(nd(c).alias(f"_nd_{c}"))
         aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
         if c in numeric:
             d = F.col(c).cast("double")
             aggs.append(F.round(F.avg(d), 4).alias(f"_mean_{c}"))
-            aggs.append(F.round(F.expr(f"percentile(cast(`{c}` as double), 0.5)"), 4).alias(f"_med_{c}"))
+            aggs.append(F.round(med(c), 4).alias(f"_med_{c}"))
 
     one = df.agg(*aggs)
     rows = [
