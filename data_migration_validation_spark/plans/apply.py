@@ -384,3 +384,17 @@ class CDCApplyEngine:
         """Live rows only (tombstones filtered)."""
         st = self.read_state()
         return None if st is None else st.where(~F.col("deleted")).drop("deleted")
+
+    def read_asof(self, epoch: int) -> DataFrame | None:
+        """Live rows as the table stood after batch ``epoch`` — time
+        travel along the epoch line (Iceberg: ``FOR VERSION AS OF``).
+        Served entirely from the retained manifest history: no state is
+        reconstructed by replay, the historical snapshot's own files and
+        bucket layout are read directly, so later epochs, compactions,
+        and rebuckets do not disturb it. Returns None if no published
+        snapshot covers only epochs ``<= epoch``."""
+        v = self.lake.version_asof_epoch(epoch)
+        if v is None:
+            return None
+        st = self.lake.read(self.spark, version=v)
+        return None if st is None else st.where(~F.col("deleted")).drop("deleted")

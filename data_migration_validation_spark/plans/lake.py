@@ -105,6 +105,10 @@ class Snapshot:
     # before this warc_ts are contractually too late and are dropped at
     # apply time, which is what makes tombstone removal safe
     gc_horizon: str | None = None
+    # table properties AS OF this snapshot (key_col/num_buckets/order_cols).
+    # A later rebucket() changes the live property; a time-travel read must
+    # merge with the bucket function the snapshot's files were written under.
+    table_props: dict | None = None
 
     def __post_init__(self):
         if self.delta_groups is None:
@@ -205,9 +209,14 @@ class LakeTable:
 
     def current_snapshot(self) -> Snapshot | None:
         v = self.current_version()
-        if v is None:
-            return None
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+        return None if v is None else self.snapshot(v)
+
+    def snapshot(self, version: int) -> Snapshot:
+        """Load a specific snapshot by version — the time-travel entry
+        point (Iceberg: ``VERSION AS OF``). Manifests are immutable and
+        never vacuumed here, and commits never delete data files, so every
+        published version stays readable."""
+        with open(os.path.join(self.meta_dir, f"v{version}.json")) as f:
             m = json.load(f)
         return Snapshot(
             version=m["version"],
@@ -217,7 +226,39 @@ class LakeTable:
             summary=m.get("summary", {}),
             delta_groups=m.get("delta_groups", {}),
             gc_horizon=m.get("gc_horizon"),
+            table_props=m.get("table"),
         )
+
+    def versions(self) -> list[int]:
+        """All published snapshot versions, ascending. Only versions the
+        CURRENT pointer has ever covered are listed (an orphan manifest
+        from a crash before the pointer flip is not a published version)."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        return [
+            v
+            for v in sorted(
+                int(fn[1:-5])
+                for fn in os.listdir(self.meta_dir)
+                if fn.startswith("v") and fn.endswith(".json")
+            )
+            if v <= cur
+        ]
+
+    def version_asof_epoch(self, epoch: int) -> int | None:
+        """Latest published version whose state reflects batch epochs
+        ``<= epoch`` only (Iceberg: snapshot-per-commit + ``FOR TIMESTAMP
+        AS OF``, keyed here on the epoch line instead of wall time).
+        Maintenance commits (compaction/GC/rebucket) carry the epoch set
+        forward unchanged, so the latest qualifying version includes any
+        maintenance that ran before the next epoch — same logical state."""
+        best = None
+        for v in self.versions():
+            epochs = self.snapshot(v).epochs
+            if epochs and max(epochs) <= epoch:
+                best = v
+        return best
 
     def gc_horizon(self) -> str | None:
         """Current tombstone-GC retention horizon (ISO timestamp) or None."""
@@ -275,14 +316,18 @@ class LakeTable:
         spark: SparkSession,
         buckets: set[int] | None = None,
         merge: bool = True,
+        version: int | None = None,
     ) -> DataFrame | None:
         """Current state (optionally only the given buckets). When delta
         files exist and ``merge`` is on, base and delta rows are LWW-merged
         per key on the bucket shuffle (winner by ``order_cols`` desc) — the
         merge-on-read half of the delta-commit design. ``merge=False``
         returns the raw base+delta union (one row per surviving version).
-        Returns None for an empty table."""
-        snap = self.current_snapshot()
+        ``version`` time-travels: the read is served from that snapshot's
+        manifest — including its OWN recorded bucket count, so a read of a
+        pre-``rebucket`` version still merges under the bucket function its
+        files were laid out with. Returns None for an empty table."""
+        snap = self.snapshot(version) if version is not None else self.current_snapshot()
         if snap is None:
             return None
         base = self._read_groups(spark, snap, snap.files_for(buckets))
@@ -294,9 +339,13 @@ class LakeTable:
             return out
         from data_migration_validation_spark.operators.lww import lww_window_bucketed
 
-        out = out.withColumn(BUCKET_COL, bucket_expr(F.col(self.key_col), self.num_buckets))
+        props = snap.table_props or {}
+        key_col = props.get("key_col", self.key_col)
+        num_buckets = int(props.get("num_buckets", self.num_buckets))
+        order_cols = tuple(props.get("order_cols", self.order_cols))
+        out = out.withColumn(BUCKET_COL, bucket_expr(F.col(key_col), num_buckets))
         return lww_window_bucketed(
-            out, key=self.key_col, order=self.order_cols, bucket_col=BUCKET_COL
+            out, key=key_col, order=order_cols, bucket_col=BUCKET_COL
         ).drop(BUCKET_COL)
 
     # -- commit ---------------------------------------------------------------

@@ -141,6 +141,80 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+ASOF_EPOCH = 1  # mid-replay epoch the time-travel query reads back to
+
+
+def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: replay ALL epochs (with mid-replay compaction), then
+    read the table as it stood after epoch 1 — served from the retained
+    snapshot history (`LakeTable.snapshot` + `version_asof_epoch`), not by
+    re-replaying a prefix. Later epochs and the compaction that ran after
+    them must not disturb the historical state; the oracle recomputes the
+    same prefix LWW independently, so a manifest-history bug (wrong
+    version choice, carried-forward file leakage, compaction clobbering
+    old versions) shows up as a value mismatch."""
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+
+    changes = doc_changes(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dmv-asof-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    changes.write.mode("overwrite").partitionBy("batch_epoch").parquet(f"{tmp}/log")
+    log = spark.read.parquet(f"{tmp}/log")
+    n_epochs = log.agg(F.max("batch_epoch")).collect()[0][0] + 1
+    engine = CDCApplyEngine(
+        spark,
+        table_path=f"{tmp}/table",
+        checkpoint_path=f"{tmp}/ckpt",
+        num_buckets=16,
+        compact_every=2,  # compaction fires between the as-of point and HEAD
+    )
+    for epoch in range(int(n_epochs)):
+        engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
+    asof = engine.read_asof(ASOF_EPOCH).select("url", "warc_ts", "seq", "lang", "text")
+    asof.write.mode("overwrite").parquet(f"{tmp}/asof")
+    out = spark.read.parquet(f"{tmp}/asof")
+    shutil.rmtree(f"{tmp}/log", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/table", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
+def cdc_state_asof_oracle() -> str:
+    # identical change derivation to cdc_final_state_oracle, LWW'd over the
+    # epoch-<=1 PREFIX of the log only (batch_epoch = seq // events_per_epoch,
+    # events_per_epoch = 3*n_docs // 4 + 1 — doc_changes:60)
+    return f"""
+WITH exploded AS (
+  SELECT doc_id, text, lang, source, v
+  FROM documents, (SELECT unnest(generate_series(0, 2)) AS v) versions
+  WHERE v <= doc_id % 3
+),
+changes AS (
+  SELECT
+    CASE WHEN v > 0 AND (doc_id + v) % 5 = 0 THEN 'D'
+         WHEN v = 0 THEN 'I' ELSE 'U' END AS op,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    TIMESTAMP '2024-01-01 00:00:00' + (v*3600 + doc_id % 60) * INTERVAL 1 SECOND AS warc_ts,
+    doc_id * 3 + (CASE WHEN doc_id % 7 = 0 THEN (doc_id % 3) - v ELSE v END) AS seq,
+    lang AS p_lang,
+    text || ' v' || v AS p_text
+  FROM exploded
+),
+prefix AS (
+  SELECT * FROM changes
+  WHERE seq // (SELECT 3 * count(*) // {N_EPOCHS} + 1 FROM documents) <= {ASOF_EPOCH}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM prefix
+)
+SELECT url, warc_ts, seq,
+       CASE WHEN op = 'D' THEN NULL ELSE p_lang END AS lang,
+       CASE WHEN op = 'D' THEN NULL ELSE p_text END AS text
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def cdc_final_state_oracle() -> str:
     return f"""
 WITH exploded AS (
@@ -834,6 +908,7 @@ from data_migration_validation_spark.queries_corpus import CORPUS_REGISTRY  # no
 REGISTRY: dict[str, tuple] = {
     **CORPUS_REGISTRY,
     "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
+    "cdc_state_asof": (cdc_state_asof, cdc_state_asof_oracle()),
     "lww_events": (lww_events, lww_events_oracle()),
     "windowed_event_stats": (windowed_event_stats, windowed_event_stats_oracle()),
     "session_event_stats": (session_event_stats, session_event_stats_oracle()),
