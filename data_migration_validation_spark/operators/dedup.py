@@ -209,6 +209,77 @@ def simhash_pairs(
     )
 
 
+# -- duplicate-cluster resolution (connected components) ------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve duplicate PAIRS into duplicate CLUSTERS: (member_id,
+    cluster_id) where cluster_id is the minimum id in the member's
+    connected component. This is the step every production dedup pipeline
+    runs after pair-finding — transitive closure turns "A~B, B~C" into one
+    keep-one-drop-two decision instead of two independent ones.
+
+    Min-label propagation as iterative DataFrame joins: labels start as
+    the vertex id; each round every vertex takes the min of its own label
+    and its neighbors' (edges join + union + min-aggregate), until a round
+    changes nothing. Rounds needed = graph diameter — for near-dup
+    clusters (LSH buckets emit near-cliques) that is 1-3, so the loop is
+    short by construction; a workload with genuinely long chains should
+    switch to the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which is the
+    same join shape run O(log n) rounds.
+
+    Scale notes: the edge list is localCheckpoint'd once so the (possibly
+    expensive) pair-producing plan is not re-executed every round, and
+    each round's labels are localCheckpoint'd to truncate the iterative
+    lineage (on a cluster, use a reliable checkpoint dir instead — same
+    call shape). Each round is one shuffle on the vertex id; the
+    convergence probe reuses the just-materialized label sets.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # both directions are present, so src alone covers every vertex
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["v"]).select(
+            F.col("dst").alias("v"), F.col("lbl")
+        )
+        new_labels = (
+            labels.select("v", "lbl")
+            .union(prop)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "v")
+            .where(F.col("o.lbl") != F.col("n.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds — "
+            "component diameter exceeds the bound; raise max_iters or use "
+            "the large-star/small-star variant"
+        )
+    return labels.select(F.col("v").alias("member_id"), F.col("lbl").alias("cluster_id"))
+
+
 # -- exact n-gram Jaccard -------------------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -109,16 +109,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _R = NUM_PERM // BANDS
-DEDUP_MINHASH_SQL = f"""{_HASH_CTES},
+_BANDROWS_CTES = f"""{_HASH_CTES},
 sig AS (SELECT doc_id, {H.minhash_signature_sql('hashes', NUM_PERM)} AS sig FROM hs),
 bandrows AS (
   SELECT doc_id, band_id,
          array_to_string(list_slice(sig, band_id*{_R}+1, band_id*{_R}+{_R}), '-') AS band_key
   FROM sig, (SELECT unnest(range({BANDS})) AS band_id)
-)
-SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+)"""
+_PAIR_SELECT = """SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM bandrows l JOIN bandrows r USING (band_id, band_key)
-WHERE l.doc_id < r.doc_id
+WHERE l.doc_id < r.doc_id"""
+
+DEDUP_MINHASH_SQL = f"""{_BANDROWS_CTES}
+{_PAIR_SELECT}
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash-LSH pairs: (member_id, cluster_id
+    = min id in the connected component) — the keep-one-per-cluster
+    decision a corpus pipeline derives from the raw pair stream. The
+    oracle computes the same closure with a recursive CTE, so the
+    iterative Spark label propagation is value-checked end to end."""
+    from data_migration_validation_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(
+        corpus(spark, sf_dir), "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_k=SHINGLE_K
+    )
+    return connected_components(pairs, "a", "b")
+
+
+# the same pair CTEs, closed transitively: min label reachable over the
+# (undirected) pair edges per member. WITH RECURSIVE prefixes the whole
+# chain — DuckDB allows non-recursive CTEs under it.
+DEDUP_CLUSTERS_SQL = f"""{_BANDROWS_CTES.replace("WITH corpus", "WITH RECURSIVE corpus", 1)},
+pairs AS ({_PAIR_SELECT}),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(v, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS member_id, min(lbl) AS cluster_id FROM reach GROUP BY v
 """
 
 
@@ -507,6 +539,7 @@ CORPUS_REGISTRY: dict[str, tuple] = {
     "media_decode_stats": (media_decode_stats, MEDIA_DECODE_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
