@@ -612,6 +612,58 @@ def val_column_profile_oracle() -> str:
     return SNAPSHOT_CTES + " UNION ALL ".join(parts)
 
 
+DRIFT_COLS = ["c_acctbal", "c_nationkey"]
+DRIFT_BINS = 10
+
+
+def val_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift OLD→NEW per (column, bin): histogram counts +
+    PSI terms over the balance (seeded +100 edits shift it) and nationkey
+    (unchanged — control) columns. The defect class row validators miss:
+    every row individually plausible, the population shifted."""
+    from data_migration_validation_spark.operators.validation import distribution_drift
+
+    return distribution_drift(
+        old_customers(spark, sf_dir),
+        new_customers(spark, sf_dir),
+        DRIFT_COLS,
+        n_bins=DRIFT_BINS,
+    )
+
+
+def val_drift_psi_oracle() -> str:
+    melt_old = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS DOUBLE) AS v FROM old_snap" for c in DRIFT_COLS
+    )
+    melt_new = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS DOUBLE) AS v FROM new_snap" for c in DRIFT_COLS
+    )
+    smooth = 0.5 * (DRIFT_BINS + 1)  # +0.5 per bin incl. the null bin
+    bin_case = f"""CASE WHEN v IS NULL THEN -1
+           WHEN hi = lo THEN 0
+           ELSE least({DRIFT_BINS - 1}, greatest(0,
+                CAST(floor((v - lo) / ((hi - lo) / {DRIFT_BINS})) AS BIGINT))) END"""
+    po = f"(old_count + 0.5) / (sum(old_count) OVER (PARTITION BY col) + {smooth})"
+    pn = f"(new_count + 0.5) / (sum(new_count) OVER (PARTITION BY col) + {smooth})"
+    return f"""{SNAPSHOT_CTES},
+old_m AS ({melt_old}),
+new_m AS ({melt_new}),
+bounds AS (SELECT col, min(v) AS lo, max(v) AS hi FROM old_m GROUP BY col),
+ob AS (SELECT m.col, {bin_case} AS bin FROM old_m m JOIN bounds USING (col)),
+nb AS (SELECT m.col, {bin_case} AS bin FROM new_m m JOIN bounds USING (col)),
+oc AS (SELECT col, bin, count(*) AS old_count FROM ob GROUP BY col, bin),
+nc AS (SELECT col, bin, count(*) AS new_count FROM nb GROUP BY col, bin),
+counts AS (
+  SELECT coalesce(oc.col, nc.col) AS col, coalesce(oc.bin, nc.bin) AS bin,
+         coalesce(old_count, 0) AS old_count, coalesce(new_count, 0) AS new_count
+  FROM oc FULL OUTER JOIN nc ON oc.col = nc.col AND oc.bin = nc.bin
+)
+SELECT col AS "column", CAST(bin AS INT) AS bin, old_count, new_count,
+       round((({pn}) - ({po})) * ln(({pn}) / ({po})), 6) AS psi_term
+FROM counts
+"""
+
+
 def _drifted_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW snapshot with schema drift for O7: gains `email`, loses
     `c_nationkey` — the additive-column + dropped-column shape the
@@ -916,6 +968,7 @@ REGISTRY: dict[str, tuple] = {
     "evt_range_after_error": (evt_range_after_error, evt_range_after_error_oracle()),
     "rollup_event_stats": (rollup_event_stats, rollup_event_stats_oracle()),
     "val_column_profile": (val_column_profile, val_column_profile_oracle()),
+    "val_drift_psi": (val_drift_psi, val_drift_psi_oracle()),
     "val_row_counts": (val_row_counts, _VAL_ORACLES["val_row_counts"]),
     "val_only_in_old": (val_only_in_old, _VAL_ORACLES["val_only_in_old"]),
     "val_only_in_new": (val_only_in_new, _VAL_ORACLES["val_only_in_new"]),

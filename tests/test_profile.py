@@ -70,3 +70,46 @@ def test_approx_profile_plan_has_no_expand(spark):
     # path must be a plain partial/final hash aggregate
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan, approx_plan
+
+
+# -- distribution drift ------------------------------------------------------
+
+from data_migration_validation_spark.operators.validation import (  # noqa: E402
+    distribution_drift,
+)
+
+
+def test_drift_psi_shifted_vs_stable(spark):
+    old = spark.range(0, 2000).select(
+        (F.col("id") % 100).cast("double").alias("stable"),
+        (F.col("id") % 100).cast("double").alias("shifted"),
+    )
+    # shifted: +50 unit change (half the old range); stable: identical
+    new = old.select("stable", (F.col("shifted") + 50.0).alias("shifted"))
+    out = distribution_drift(old, new, ["stable", "shifted"], n_bins=10)
+    rows = out.collect()
+    psi = {}
+    for r in rows:
+        psi[r["column"]] = psi.get(r["column"], 0.0) + r["psi_term"]
+        assert -1 <= r["bin"] <= 9
+    assert psi["stable"] < 0.01  # identical distribution → ~0
+    assert psi["shifted"] > 0.25  # unit-change shift → "broken" band
+    # clamping: new values above the OLD max all land in the top bin
+    top = {(r["column"], r["bin"]): r for r in rows}
+    assert top[("shifted", 9)]["new_count"] > top[("shifted", 9)]["old_count"]
+
+
+def test_drift_null_bin_and_constant_column(spark):
+    old = spark.range(0, 100).select(
+        F.lit(7.0).alias("const"),
+        F.col("id").cast("double").alias("x"),
+    )
+    new = old.select(
+        "const",
+        F.when(F.col("x") < 50, None).otherwise(F.col("x")).alias("x"),
+    )
+    rows = distribution_drift(old, new, ["const", "x"], n_bins=10).collect()
+    by = {(r["column"], r["bin"]): r for r in rows}
+    assert by[("const", 0)]["old_count"] == 100  # hi==lo → single bin
+    assert by[("x", -1)]["new_count"] == 50  # nulls get their own bin
+    assert by[("x", -1)]["old_count"] == 0  # OLD had no nulls
