@@ -551,6 +551,61 @@ class LakeTable:
         )
         return len(targets)
 
+    # -- snapshot expiration -----------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Expire old snapshots (Iceberg ``expire_snapshots``): drop all
+        but the newest ``keep_last`` published manifests and physically
+        delete data files referenced ONLY by the expired ones. This is
+        what bounds metadata and storage growth under continuous ingest —
+        every delta commit and compaction strands superseded files that
+        only the manifest history keeps alive; without expiration the
+        table's footprint grows with every commit forever.
+
+        The time-travel horizon shrinks accordingly: ``version_asof_epoch``
+        / ``read(version=...)`` only see retained snapshots (that is the
+        Iceberg trade too). The current snapshot is always retained.
+        Driver-side metadata surgery only — no Spark job; file deletes
+        happen AFTER the expired manifests are removed, so a crash
+        mid-expire leaves at worst unreferenced files (re-running expire
+        is a no-op for manifests and harmless for files), never a
+        published manifest pointing at deleted data."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.versions()
+        keep = set(versions[-keep_last:])
+        cur = self.current_version()
+        if cur is not None:
+            keep.add(cur)
+        expired = [v for v in versions if v not in keep]
+        if not expired:
+            return {"expired_versions": 0, "removed_files": 0}
+
+        def _files(snap: Snapshot) -> set[str]:
+            return {
+                f
+                for groups in (snap.file_groups, snap.delta_groups)
+                for by_bucket in groups.values()
+                for fs in by_bucket.values()
+                for f in fs
+            }
+
+        live = set()
+        for v in keep:
+            live |= _files(self.snapshot(v))
+        dead = set()
+        for v in expired:
+            dead |= _files(self.snapshot(v)) - live
+        # manifests first (see docstring crash ordering)
+        for v in expired:
+            os.unlink(os.path.join(self.meta_dir, f"v{v}.json"))
+        removed = 0
+        for f in sorted(dead):
+            if os.path.exists(f):
+                os.unlink(f)
+                removed += 1
+        return {"expired_versions": len(expired), "removed_files": removed}
+
     # -- bucket-count evolution -------------------------------------------------
 
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:

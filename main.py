@@ -143,6 +143,15 @@ def cmd_rebucket(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_expire(args: argparse.Namespace) -> int:
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    lake = LakeTable(args.table)
+    out = lake.expire_snapshots(keep_last=args.keep_last)
+    print(json.dumps({"command": "expire", **out}))
+    return 0
+
+
 def cmd_reconcile(args: argparse.Namespace) -> int:
     from data_migration_validation_spark.operators.reconcile import (
         cogroup_reconcile,
@@ -366,6 +375,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(run only when every source is caught up past it)",
     )
     c.set_defaults(fn=cmd_compact)
+
+    ex = sub.add_parser(
+        "expire", help="expire old snapshots and delete their orphaned data files"
+    )
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--keep-last", type=int, default=10, dest="keep_last")
+    ex.set_defaults(fn=cmd_expire)
 
     rb = sub.add_parser("rebucket", help="change a table's bucket count (full rewrite)")
     rb.add_argument("--table", required=True)

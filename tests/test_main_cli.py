@@ -157,3 +157,20 @@ def test_generate_apply_reconcile_roundtrip(spark, tmp_path):
         ["reconcile", "--table", table, "--checkpoint", ckpt, "--expected", exp, "--key", "url"]
     )
     assert rc2 == 0
+
+
+def test_expire_cli(spark, tmp_path):
+    """generate → apply → expire: old snapshots removed, table still reads."""
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    assert _run(["generate", "--out", log, "--keys", "200", "--events-per-epoch", "300"]) == 0
+    assert _run(["apply", "--log", log, "--table", table, "--checkpoint", ckpt, "--buckets", "8"]) == 0
+    lake = LakeTable(table)
+    assert len(lake.versions()) > 1
+    assert _run(["expire", "--table", table, "--keep-last", "1"]) == 0
+    lake2 = LakeTable(table)
+    assert lake2.versions() == [lake2.current_version()]
+    assert lake2.read(spark).count() > 0

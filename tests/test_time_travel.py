@@ -128,3 +128,71 @@ def test_version_asof_epoch_picks_post_maintenance_snapshot(spark, tmp_path):
     assert lake.version_asof_epoch(0) < v_after
     # an epoch no snapshot is bounded by → None (epoch -1: nothing applied)
     assert lake.version_asof_epoch(-1) is None
+
+
+# -- snapshot expiration -----------------------------------------------------
+
+
+def test_expire_snapshots_bounds_history(spark, tmp_path):
+    import glob
+    import os
+
+    eng = _replay(spark, tmp_path, "exp", [0, 1, 2, 3], compact_every=2)
+    lake = eng.lake
+    all_versions = lake.versions()
+    assert len(all_versions) >= 4
+    head_before = _rows(eng.read_final())
+    n_files_before = len(
+        glob.glob(str(tmp_path / "exp-t" / "data" / "**" / "*.parquet"), recursive=True)
+    )
+
+    out = lake.expire_snapshots(keep_last=1)
+    assert out["expired_versions"] == len(all_versions) - 1
+    assert out["removed_files"] > 0
+    # current state untouched
+    assert _rows(eng.read_final()) == head_before
+    # expired manifests physically gone; only the head remains
+    assert lake.versions() == [lake.current_version()]
+    # orphaned data files physically gone
+    n_files_after = len(
+        glob.glob(str(tmp_path / "exp-t" / "data" / "**" / "*.parquet"), recursive=True)
+    )
+    assert n_files_after < n_files_before
+    # the time-travel horizon shrank: epoch-1 state is no longer addressable
+    assert lake.version_asof_epoch(1) is None
+    assert eng.read_asof(1) is None
+    # idempotent: a second expire is a no-op
+    assert lake.expire_snapshots(keep_last=1) == {
+        "expired_versions": 0,
+        "removed_files": 0,
+    }
+    # the engine keeps committing normally against the trimmed history
+    eng2 = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "exp-t"),
+        checkpoint_path=str(tmp_path / "exp-c2"),
+    )
+    extra = _events(
+        spark, [("U", "https://c/5", "2024-01-01 04:00:00", 11)], 4
+    )
+    eng2.apply_epoch(extra, 4)
+    assert any(u == "https://c/5" for (u, *_r) in _rows(eng2.read_final()))
+    assert os.path.exists(str(tmp_path / "exp-t" / "_meta" / "CURRENT"))
+
+
+def test_expire_keeps_files_shared_with_retained_snapshots(spark, tmp_path):
+    # keep_last=2: the previous snapshot shares carried-forward base files
+    # with HEAD; expiration must not delete files a retained snapshot needs
+    eng = _replay(spark, tmp_path, "share", [0, 1, 2, 3], compact_every=None)
+    lake = eng.lake
+    vs = lake.versions()
+    prev = vs[-2]
+    prev_rows_before = _rows(
+        lake.read(spark, version=prev).where(~F.col("deleted")).drop("deleted")
+    )
+    lake.expire_snapshots(keep_last=2)
+    # the retained historical snapshot is still fully readable
+    prev_rows_after = _rows(
+        lake.read(spark, version=prev).where(~F.col("deleted")).drop("deleted")
+    )
+    assert prev_rows_after == prev_rows_before
