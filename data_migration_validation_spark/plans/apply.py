@@ -398,3 +398,82 @@ class CDCApplyEngine:
             return None
         st = self.lake.read(self.spark, version=v)
         return None if st is None else st.where(~F.col("deleted")).drop("deleted")
+
+    def read_changes(
+        self, from_epoch: int | None, to_epoch: int | None = None
+    ) -> DataFrame | None:
+        """Change-data-feed: row-level changes between two points on the
+        epoch line (Delta Lake CDF / Iceberg incremental-read semantics).
+        Returns the live-state diff from the table as of ``from_epoch`` to
+        the table as of ``to_epoch`` (default: current HEAD), one row per
+        change with ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage} — updates emit BOTH images, so a downstream
+        consumer can maintain any aggregate incrementally.
+
+        Scale design: both endpoint states are served from the retained
+        manifest history (no replay), and BOTH reads are pruned to the
+        buckets actually touched by the epoch commits in the range
+        (``LakeTable.buckets_changed_between`` — manifest-only). For a
+        small epoch range over a 100-TB table the diff therefore reads a
+        few buckets, not the lake; the full-outer join runs key-bucketed
+        on both sides. The classification is a single plan — one join, no
+        branch recomputation (changed keys explode into their 1–2 CDF
+        rows; unchanged keys explode into zero).
+
+        ``from_epoch=None`` (or a from-point before the first commit)
+        diffs against the empty table — every live row is an insert."""
+        cur = self.lake.current_version()
+        if cur is None:
+            return None
+        v2 = cur if to_epoch is None else self.lake.version_asof_epoch(to_epoch)
+        if v2 is None:
+            return None
+        v1 = None if from_epoch is None else self.lake.version_asof_epoch(from_epoch)
+        snap2 = self.lake.snapshot(v2)
+        buckets = self.lake.buckets_changed_between(v1, v2)
+        if buckets is not None and not buckets:
+            # no epoch commits in range: empty feed, schema preserved
+            buckets = set()
+
+        def _live(version: int | None) -> DataFrame | None:
+            if version is None:
+                return None
+            st = self.lake.read(self.spark, buckets=buckets, version=version)
+            if st is None:
+                return None
+            return st.where(~F.col("deleted")).drop("deleted")
+
+        new = _live(v2)
+        if new is None:
+            return None
+        old = _live(v1)
+        target = new.schema
+        if old is None:
+            old = self.spark.createDataFrame([], target)
+        elif old.schema != target:
+            old = conform(old, target)  # schema evolution in range: upcast
+
+        key = (snap2.table_props or {}).get("key_col", self.key_col)
+        vals = [c for c in new.columns if c != key]
+        old_s = old.select(F.col(key), F.struct(*vals).alias("_old"))
+        new_s = new.select(F.col(key), F.struct(*vals).alias("_new"))
+        j = old_s.join(new_s, on=key, how="full_outer")
+        o, n = F.col("_old"), F.col("_new")
+
+        def _row(src, ctype: str):
+            return F.struct(src.alias("vals"), F.lit(ctype).alias("ct"))
+
+        rows = (
+            F.when(o.isNull() & n.isNotNull(), F.array(_row(n, "insert")))
+            .when(n.isNull() & o.isNotNull(), F.array(_row(o, "delete")))
+            .when(
+                o.isNotNull() & n.isNotNull() & ~o.eqNullSafe(n),
+                F.array(_row(o, "update_preimage"), _row(n, "update_postimage")),
+            )
+            # unchanged key: explode(NULL) emits no rows
+        )
+        ex = j.select(F.col(key), F.explode(rows).alias("_r"))
+        return ex.select(
+            key, *[F.col(f"_r.vals.{c}").alias(c) for c in vals],
+            F.col("_r.ct").alias("_change_type"),
+        )

@@ -260,6 +260,39 @@ class LakeTable:
                 best = v
         return best
 
+    def buckets_changed_between(self, v_from: int | None, v_to: int) -> set[int] | None:
+        """Buckets whose LOGICAL state may differ between two published
+        versions — the union of the ``touched_buckets`` recorded by every
+        epoch commit in ``(v_from, v_to]``. Maintenance commits
+        (compaction / GC / rebucket carry ``epoch=None``) rewrite files
+        without changing epoch-line state and are skipped — except that a
+        GC or rebucket in the range invalidates bucket-level pruning
+        (tombstone GC physically drops rows table-wide; rebucket changes
+        what a bucket id means), in which case ``None`` ("all buckets")
+        is returned. Also returns ``None`` when a commit predates the
+        ``touched_buckets`` record. Manifest-only: no data files are read."""
+        if v_from is None:
+            return None
+        from_snap = self.snapshot(v_from)
+        props_from = from_snap.table_props or {}
+        out: set[int] = set()
+        for v in self.versions():
+            if v <= v_from or v > v_to:
+                continue
+            snap = self.snapshot(v)
+            props = snap.table_props or {}
+            if props.get("num_buckets") != props_from.get("num_buckets"):
+                return None  # rebucket in range: bucket ids not comparable
+            if snap.gc_horizon != from_snap.gc_horizon:
+                return None  # tombstone GC in range: rows dropped table-wide
+            if snap.summary.get("epoch") is None:
+                continue  # compaction: state-preserving
+            touched = snap.summary.get("touched_buckets")
+            if touched is None:
+                return None  # pre-record commit: unknown extent
+            out.update(int(b) for b in touched)
+        return out
+
     def gc_horizon(self) -> str | None:
         """Current tombstone-GC retention horizon (ISO timestamp) or None."""
         snap = self.current_snapshot()
@@ -484,7 +517,14 @@ class LakeTable:
             "schema": schema.json(),
             "file_groups": file_groups,
             "delta_groups": delta_groups,
-            "summary": {**(summary or {}), "epoch": epoch},
+            "summary": {
+                **(summary or {}),
+                "epoch": epoch,
+                # recorded for incremental consumers (change-data-feed /
+                # incremental reconcile): which buckets this commit's rows
+                # landed in — manifest-only, no data read needed later
+                "touched_buckets": sorted(int(b) for b in touched_buckets),
+            },
             "table": {
                 "key_col": self.key_col,
                 "num_buckets": self.num_buckets,

@@ -215,6 +215,99 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed: replay ALL epochs (with mid-replay compaction),
+    then read the row-level changes from the table as of epoch 1 to HEAD
+    (``CDCApplyEngine.read_changes`` — Delta-CDF-style insert / delete /
+    update_preimage / update_postimage rows). Both endpoint states are
+    served from manifest history and pruned to the buckets the later
+    epochs actually touched; the oracle recomputes the same diff from two
+    independent LWW prefixes of the log, so a wrong version choice, a
+    missed touched bucket, or a misclassified change shows up as a
+    mismatch."""
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+
+    changes = doc_changes(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="dmv-cdf-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    changes.write.mode("overwrite").partitionBy("batch_epoch").parquet(f"{tmp}/log")
+    log = spark.read.parquet(f"{tmp}/log")
+    n_epochs = log.agg(F.max("batch_epoch")).collect()[0][0] + 1
+    engine = CDCApplyEngine(
+        spark,
+        table_path=f"{tmp}/table",
+        checkpoint_path=f"{tmp}/ckpt",
+        num_buckets=16,
+        compact_every=2,  # compaction commits sit inside the CDF range
+    )
+    for epoch in range(int(n_epochs)):
+        engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
+    feed = engine.read_changes(from_epoch=ASOF_EPOCH).select(
+        "url", "warc_ts", "seq", "lang", "text", "_change_type"
+    )
+    feed.write.mode("overwrite").parquet(f"{tmp}/feed")
+    out = spark.read.parquet(f"{tmp}/feed")
+    shutil.rmtree(f"{tmp}/log", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/table", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
+def cdc_changes_oracle() -> str:
+    # same change derivation as cdc_final_state_oracle; the feed is the
+    # live-state diff between the epoch-<=ASOF_EPOCH prefix LWW and the
+    # full-log LWW. Any change bumps seq, so comparing the projected
+    # columns is equivalent to comparing whole rows.
+    return f"""
+WITH exploded AS (
+  SELECT doc_id, text, lang, source, v
+  FROM documents, (SELECT unnest(generate_series(0, 2)) AS v) versions
+  WHERE v <= doc_id % 3
+),
+changes AS (
+  SELECT
+    CASE WHEN v > 0 AND (doc_id + v) % 5 = 0 THEN 'D'
+         WHEN v = 0 THEN 'I' ELSE 'U' END AS op,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    TIMESTAMP '2024-01-01 00:00:00' + (v*3600 + doc_id % 60) * INTERVAL 1 SECOND AS warc_ts,
+    doc_id * 3 + (CASE WHEN doc_id % 7 = 0 THEN (doc_id % 3) - v ELSE v END) AS seq,
+    lang AS p_lang,
+    text || ' v' || v AS p_text
+  FROM exploded
+),
+state_old AS (
+  SELECT url, warc_ts, seq,
+         CASE WHEN op = 'D' THEN NULL ELSE p_lang END AS lang,
+         CASE WHEN op = 'D' THEN NULL ELSE p_text END AS text, op
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+    FROM changes
+    WHERE seq // (SELECT 3 * count(*) // {N_EPOCHS} + 1 FROM documents) <= {ASOF_EPOCH}
+  ) WHERE rn = 1 AND op <> 'D'
+),
+state_new AS (
+  SELECT url, warc_ts, seq,
+         CASE WHEN op = 'D' THEN NULL ELSE p_lang END AS lang,
+         CASE WHEN op = 'D' THEN NULL ELSE p_text END AS text, op
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT n.url, n.warc_ts, n.seq, n.lang, n.text, 'insert' AS _change_type
+FROM state_new n LEFT JOIN state_old o USING (url) WHERE o.url IS NULL
+UNION ALL
+SELECT o.url, o.warc_ts, o.seq, o.lang, o.text, 'delete'
+FROM state_old o LEFT JOIN state_new n USING (url) WHERE n.url IS NULL
+UNION ALL
+SELECT o.url, o.warc_ts, o.seq, o.lang, o.text, 'update_preimage'
+FROM state_old o JOIN state_new n USING (url) WHERE o.seq <> n.seq
+UNION ALL
+SELECT n.url, n.warc_ts, n.seq, n.lang, n.text, 'update_postimage'
+FROM state_old o JOIN state_new n USING (url) WHERE o.seq <> n.seq
+"""
+
+
 def cdc_final_state_oracle() -> str:
     return f"""
 WITH exploded AS (
@@ -961,6 +1054,7 @@ REGISTRY: dict[str, tuple] = {
     **CORPUS_REGISTRY,
     "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
     "cdc_state_asof": (cdc_state_asof, cdc_state_asof_oracle()),
+    "cdc_changes": (cdc_changes, cdc_changes_oracle()),
     "lww_events": (lww_events, lww_events_oracle()),
     "windowed_event_stats": (windowed_event_stats, windowed_event_stats_oracle()),
     "session_event_stats": (session_event_stats, session_event_stats_oracle()),
