@@ -38,6 +38,7 @@ lineage aggregates, and file-footer stats.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -71,6 +72,7 @@ class ApplyStats:
     rows_written: int | None = 0
     buckets_touched: int = 0
     seconds: float = 0.0
+    quarantined: int = 0
 
 
 class CDCApplyEngine:
@@ -87,6 +89,7 @@ class CDCApplyEngine:
         merge_mode: str = "mor",
         compact_every: int | None = 8,
         enrich_text: bool = False,
+        quarantine: bool = True,
     ):
         """``in_batch_prededup``: add a key-hash pre-shuffle that dedups the
         batch BEFORE text extraction and the merge. Worth it for backfill /
@@ -109,7 +112,18 @@ class CDCApplyEngine:
         / ``fingerprint`` columns. This is the production shape of a
         corpus pipeline (enrich once at ingest, filter cheaply forever);
         all three are pure Column expressions (whole-stage codegen) over
-        the post-dedup winners."""
+        the post-dedup winners.
+
+        ``quarantine``: route malformed events (null key / null warc_ts /
+        null seq / unknown op) to a dead-letter table under the lake dir
+        instead of crashing the epoch or corrupting bucket assignment
+        (a null key buckets to null, which would fail the commit's
+        stray-bucket invariant). Detection piggybacks on the lineage
+        pre-scan (two extra slim columns, no extra job); the quarantine
+        WRITE only runs for epochs that actually have violations, into an
+        epoch-keyed directory (idempotent under crash-replay). Reasons in
+        generation order: nothing downstream of the envelope can be
+        trusted for a row that fails it, so one reason per row suffices."""
         if merge_mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
         self.spark = spark
@@ -125,6 +139,8 @@ class CDCApplyEngine:
         self.merge_mode = merge_mode
         self.compact_every = compact_every
         self.enrich_text = enrich_text
+        self.quarantine = quarantine
+        self.quarantine_dir = os.path.join(table_path, "_quarantine")
         self.registry = SchemaRegistry()
         snap = self.lake.current_snapshot()
         if snap is not None:
@@ -152,20 +168,41 @@ class CDCApplyEngine:
             return ApplyStats(epoch=epoch, skipped=True)
 
         key = self.key_col
-        # tombstone-GC retention gate: events at or before the recorded
-        # horizon are contractually too late (their tombstones may already
-        # be physically gone) — admitting one could resurrect a GC'd
-        # deleted key, so they are dropped here, before BOTH evaluations
-        # of the plan (lineage pre-scan and merge see the same rows)
+        # admission predicates, evaluated identically in the pre-scan and
+        # the merge plan (determinism contract):
+        # * valid — envelope sanity; a failing row cannot be applied (a
+        #   null key has no bucket) and is routed to the quarantine table;
+        # * in-horizon — tombstone-GC retention gate: events at or before
+        #   the recorded horizon are contractually too late (their
+        #   tombstones may already be physically gone); admitting one
+        #   could resurrect a GC'd deleted key, so they are dropped.
+        valid = (
+            F.col(key).isNotNull()
+            & F.col("warc_ts").isNotNull()
+            & F.col("seq").isNotNull()
+            & F.col("op").isin("I", "U", "D")
+        )
         horizon = self.lake.gc_horizon()
-        if horizon is not None:
-            events = events.where(F.col("warc_ts") > F.to_timestamp(F.lit(horizon)))
+        in_horizon = (
+            F.lit(True)
+            if horizon is None
+            else F.col("warc_ts") > F.to_timestamp(F.lit(horizon))
+        )
         # 2. lineage pre-scan: per-bucket source offsets + event counts
-        # from ONLY (key, seq) — column pruning keeps the html payload out
-        # of this job entirely (at a parquet source this is a 2-column scan).
-        lineage_rows = (
-            events.select(key, "seq")
-            .withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+        # from ONLY slim envelope columns — column pruning keeps the html
+        # payload out of this job entirely (at a parquet source this is a
+        # 4-column scan). Malformed (-1) and too-late (-2) rows fold into
+        # the SAME aggregation as sentinel groups — their counts cost no
+        # extra job. `valid` is checked first so a null warc_ts lands in
+        # quarantine, not silently in the horizon drop.
+        bucket_assign = (
+            (F.when(~valid, F.lit(-1)) if self.quarantine else F.when(F.lit(False), F.lit(-1)))
+            .when(~in_horizon, F.lit(-2))
+            .otherwise(bucket_expr(F.col(key), self.lake.num_buckets))
+        )
+        scan_rows = (
+            events.select(key, "seq", "op", "warc_ts")
+            .withColumn(BUCKET_COL, bucket_assign)
             .groupBy(BUCKET_COL)
             .agg(
                 F.min("seq").alias("source_offset_start"),
@@ -174,8 +211,36 @@ class CDCApplyEngine:
             )
             .collect()
         )
+        n_quarantined = sum(r["applied_events"] for r in scan_rows if r[BUCKET_COL] == -1)
+        n_late_dropped = sum(r["applied_events"] for r in scan_rows if r[BUCKET_COL] == -2)
+        # quarantine=False preserves the legacy failure mode: a malformed
+        # row's null bucket stays in the lineage and the commit's
+        # stray-bucket invariant rejects it loudly
+        lineage_rows = [
+            r for r in scan_rows if r[BUCKET_COL] is None or r[BUCKET_COL] >= 0
+        ]
         touched = {r[BUCKET_COL] for r in lineage_rows}
         n_events = sum(r["applied_events"] for r in lineage_rows)
+
+        if n_quarantined:
+            # dead-letter write — only runs for epochs that actually have
+            # violations; epoch-keyed dir + overwrite = idempotent replay
+            reason = (
+                F.when(F.col(key).isNull(), F.lit("null_key"))
+                .when(F.col("warc_ts").isNull(), F.lit("null_warc_ts"))
+                .when(F.col("seq").isNull(), F.lit("null_seq"))
+                .otherwise(F.lit("bad_op"))
+            )
+            (
+                events.where(~valid)
+                .withColumn("_reason", reason)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.quarantine_dir, f"epoch={epoch}"))
+            )
+        if self.quarantine and n_quarantined:
+            events = events.where(valid)
+        if horizon is not None:
+            events = events.where(in_horizon)
 
         # 3. flatten payload; tombstones keep null payload columns
         flat = events.select(
@@ -295,6 +360,14 @@ class CDCApplyEngine:
                 {"epoch": epoch, "stage": "apply", "metric": "buckets_touched", "value": float(len(touched))},
                 {"epoch": epoch, "stage": "apply", "metric": "seconds", "value": dt},
             ]
+            if n_quarantined:
+                metrics.append(
+                    {"epoch": epoch, "stage": "apply", "metric": "quarantined_events", "value": float(n_quarantined)}
+                )
+            if n_late_dropped:
+                metrics.append(
+                    {"epoch": epoch, "stage": "apply", "metric": "late_dropped_events", "value": float(n_late_dropped)}
+                )
             if rows_written is not None:  # omit when footers were unreadable
                 # mode-tagged: mor counts delta winners, cow counts full
                 # rewritten buckets — not comparable, so never one series
@@ -346,6 +419,7 @@ class CDCApplyEngine:
             rows_written=None if rows_written is None else int(rows_written),
             buckets_touched=len(touched),
             seconds=time.monotonic() - t0,
+            quarantined=int(n_quarantined),
         )
 
     def _enrich(self, df: DataFrame) -> DataFrame:
@@ -398,6 +472,19 @@ class CDCApplyEngine:
             return None
         st = self.lake.read(self.spark, version=v)
         return None if st is None else st.where(~F.col("deleted")).drop("deleted")
+
+    def read_quarantine(self) -> DataFrame | None:
+        """Dead-letter table: every quarantined event across all epochs,
+        with its rejection ``_reason`` and an ``epoch`` partition column.
+        Epoch directories may carry different payload schemas (the
+        envelope evolves mid-stream) — merged on read. None if no event
+        was ever quarantined."""
+        if not os.path.isdir(self.quarantine_dir):
+            return None
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.quarantine_dir)
+        )
 
     def read_changes(
         self, from_epoch: int | None, to_epoch: int | None = None

@@ -72,7 +72,13 @@ class CheckpointStore:
             return
         pdf = pd.DataFrame(rows, columns=METRICS_COLS)
         epoch = rows[0]["epoch"]
-        pdf.to_parquet(os.path.join(self.metrics_dir, f"epoch-{epoch}.parquet"), index=False)
+        # stage-qualified name: an epoch can emit several metric batches
+        # (apply, then compact) — a bare epoch-N name would overwrite
+        stage = rows[0].get("stage", "apply")
+        pdf.to_parquet(
+            os.path.join(self.metrics_dir, f"epoch-{epoch}-{stage}.parquet"),
+            index=False,
+        )
 
     def lineage(self) -> pd.DataFrame:
         files = sorted(
