@@ -205,3 +205,64 @@ def simhash_segments_sql(
         )
         segs.append(f"CAST(list_sum([{bits}]) AS BIGINT)")
     return "[" + ", ".join(segs) + "]"
+
+
+# -- driver-side xxHash64 (Spark-compatible) ----------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64 (public xxHash spec) over raw bytes, default
+    seed 42 = Spark's ``F.xxhash64`` on a string column's UTF-8 bytes.
+    Lets the driver compute a key's lake bucket (``bucket_expr`` =
+    pmod(xxhash64(key), B)) without launching a one-row Spark job — the
+    point-lookup planner's hash. Returns the UNSIGNED 64-bit value;
+    callers emulating Spark's signed long must reinterpret."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            v1 = (_rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = (h * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i : i + 8], "little") * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = ((_rotl(h ^ k, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _M64
+        h = ((_rotl(h, 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h

@@ -473,6 +473,17 @@ class CDCApplyEngine:
         st = self.lake.read(self.spark, version=v)
         return None if st is None else st.where(~F.col("deleted")).drop("deleted")
 
+    def lookup(self, key_value: str) -> DataFrame | None:
+        """Point lookup of one key's live row — manifest-pruned to the
+        key's bucket and the files whose recorded key range covers it
+        (``LakeTable.lookup``); tombstoned keys return empty."""
+        df = self.lake.lookup(self.spark, key_value)
+        if df is None:
+            return None
+        if "deleted" in df.columns:
+            df = df.where(~F.col("deleted")).drop("deleted")
+        return df
+
     def read_quarantine(self) -> DataFrame | None:
         """Dead-letter table: every quarantined event across all epochs,
         with its rejection ``_reason`` and an ``epoch`` partition column.

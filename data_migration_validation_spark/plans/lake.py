@@ -60,6 +60,17 @@ def bucket_expr(key: Column, num_buckets: int) -> Column:
     return F.pmod(F.xxhash64(key), F.lit(num_buckets)).cast("int")
 
 
+def _xxhash64_str(s: str) -> int:
+    """Driver-side twin of Spark's ``xxhash64(string)`` as a SIGNED 64-bit
+    value; ``_xxhash64_str(k) % B`` (Python % is non-negative) equals
+    ``bucket_expr`` — the point-lookup planner's bucket computation,
+    no Spark job needed."""
+    from data_migration_validation_spark.functions.hashing import xxhash64_bytes
+
+    h = xxhash64_bytes(s.encode("utf-8"), 42)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def _atomic_write(path: str, content: str) -> None:
     d = os.path.dirname(path)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
@@ -109,10 +120,16 @@ class Snapshot:
     # A later rebucket() changes the live property; a time-travel read must
     # merge with the bucket function the snapshot's files were written under.
     table_props: dict | None = None
+    # per-file key-column [min, max] from the parquet footers (Iceberg
+    # manifest lower/upper bounds) — point lookups skip files whose range
+    # excludes the key. Files absent from the map are always candidates.
+    file_stats: dict | None = None
 
     def __post_init__(self):
         if self.delta_groups is None:
             self.delta_groups = {}
+        if self.file_stats is None:
+            self.file_stats = {}
 
     def files_for(self, buckets: set[int] | None) -> dict[str, list[str]]:
         return _select_files(self.file_groups, buckets)
@@ -227,6 +244,7 @@ class LakeTable:
             delta_groups=m.get("delta_groups", {}),
             gc_horizon=m.get("gc_horizon"),
             table_props=m.get("table"),
+            file_stats=m.get("file_stats", {}),
         )
 
     def versions(self) -> list[int]:
@@ -381,6 +399,78 @@ class LakeTable:
             out, key=key_col, order=order_cols, bucket_col=BUCKET_COL
         ).drop(BUCKET_COL)
 
+    # -- point lookup ---------------------------------------------------------
+
+    def lookup_files(
+        self, key_value: str, version: int | None = None
+    ) -> tuple[dict[str, list[str]], dict[str, list[str]], int]:
+        """Manifest-only planning for a point lookup: the key's bucket
+        (computed driver-side with the same xxhash64 the layout uses) and
+        the base/delta file groups for that bucket, pruned by the per-file
+        key [min, max] bounds. Returns (base_groups, delta_groups,
+        bucket). Files without recorded bounds stay candidates."""
+        snap = self.snapshot(version) if version is not None else self.current_snapshot()
+        if snap is None:
+            return {}, {}, -1
+        props = snap.table_props or {}
+        num_buckets = int(props.get("num_buckets", self.num_buckets))
+        bucket = _xxhash64_str(key_value) % num_buckets
+        stats = snap.file_stats or {}
+
+        def _prune(groups: dict[str, list[str]]) -> dict[str, list[str]]:
+            out = {}
+            for sj, fs in groups.items():
+                kept = [
+                    f
+                    for f in fs
+                    if f not in stats or stats[f][0] <= key_value <= stats[f][1]
+                ]
+                if kept:
+                    out[sj] = kept
+            return out
+
+        return (
+            _prune(snap.files_for({bucket})),
+            _prune(snap.delta_files_for({bucket})),
+            bucket,
+        )
+
+    def lookup(
+        self, spark: SparkSession, key_value: str, version: int | None = None
+    ) -> DataFrame | None:
+        """Point lookup by key — O(one bucket's pruned files), not a table
+        scan: manifest pruning picks the key's bucket, the per-file key
+        bounds skip base files whose range excludes the key (after a
+        key-sorted compaction each base file covers a narrow range), and
+        only the surviving files are read, filtered, and LWW-merged. The
+        100-TB shape: a lookup touches a handful of parquet files
+        regardless of table size."""
+        snap = self.snapshot(version) if version is not None else self.current_snapshot()
+        if snap is None:
+            return None
+        base_g, delta_g, _ = self.lookup_files(key_value, version=version)
+        props = snap.table_props or {}
+        key_col = props.get("key_col", self.key_col)
+        base = self._read_groups(spark, snap, base_g)
+        delta = self._read_groups(spark, snap, delta_g)
+        if base is None and delta is None:
+            return spark.createDataFrame([], snap.schema)
+        out = (
+            base.unionByName(delta)
+            if base is not None and delta is not None
+            else (base if base is not None else delta)
+        )
+        out = out.where(F.col(key_col) == key_value)
+        if delta is None:
+            return out
+        from data_migration_validation_spark.operators.lww import lww_window_bucketed
+
+        order_cols = tuple(props.get("order_cols", self.order_cols))
+        out = out.withColumn(BUCKET_COL, F.lit(0))
+        return lww_window_bucketed(
+            out, key=key_col, order=order_cols, bucket_col=BUCKET_COL
+        ).drop(BUCKET_COL)
+
     # -- commit ---------------------------------------------------------------
 
     def commit(
@@ -392,6 +482,7 @@ class LakeTable:
         summary: dict | None = None,
         mode: str = "rewrite",
         gc_horizon: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> tuple[bool, int]:
         """Atomically commit one epoch and publish the new manifest.
 
@@ -427,11 +518,13 @@ class LakeTable:
         # merge's LWW shuffle is keyed on the bucket — see
         # operators/lww.lww_window_bucketed), so each task holds whole
         # buckets and partitionBy writes ~one file per bucket.
-        (
-            new_bucket_data.write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(commit_dir)
-        )
+        writer = new_bucket_data.write.partitionBy(BUCKET_COL).mode("overwrite")
+        if max_records_per_file:
+            # split big buckets into several files (Iceberg target file
+            # size): with key-sorted input each file covers a narrow,
+            # disjoint key range — what makes min/max file skipping bite
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(commit_dir)
 
         # Collect written files per bucket.
         new_by_bucket: dict[str, list[str]] = {}
@@ -498,15 +591,49 @@ class LakeTable:
             file_groups.setdefault(schema_json, {})  # keep schema recorded
 
         rows_written: int | None = 0
+        new_stats: dict[str, list] = {}
         try:
             import pyarrow.parquet as pq
 
             for files in new_by_bucket.values():
                 for fp in files:
-                    rows_written += pq.ParquetFile(fp).metadata.num_rows
+                    md = pq.ParquetFile(fp).metadata
+                    rows_written += md.num_rows
+                    # key-column [min, max] for manifest-level file
+                    # skipping (Iceberg lower/upper bounds). Same footer
+                    # read as the row count — no extra IO. Missing or
+                    # non-string stats just leave the file un-prunable.
+                    try:
+                        names = [md.schema.column(i).name for i in range(md.num_columns)]
+                        j = names.index(self.key_col)
+                        mins, maxs = [], []
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(j).statistics
+                            if st is None or not st.has_min_max:
+                                raise ValueError("no stats")
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                        if mins and all(isinstance(v, str) for v in mins + maxs):
+                            new_stats[fp] = [min(mins), max(maxs)]
+                    except Exception:
+                        pass
         except Exception:
             rows_written = None  # footer stats unavailable; not fatal —
             # callers must treat None as "unknown", never as a count
+
+        # carry stats for surviving files, add the new files', drop the rest
+        live_files = {
+            f
+            for groups in (file_groups, delta_groups)
+            for by_bucket in groups.values()
+            for fs in by_bucket.values()
+            for f in fs
+        }
+        file_stats = {
+            f: st
+            for f, st in {**((prev.file_stats or {}) if prev else {}), **new_stats}.items()
+            if f in live_files
+        }
 
         prev_horizon = prev.gc_horizon if prev else None
         # ISO strings compare chronologically; the horizon only advances
@@ -531,6 +658,7 @@ class LakeTable:
                 "order_cols": list(self.order_cols),
             },
             "gc_horizon": horizon,
+            "file_stats": file_stats,
         }
         _atomic_write(os.path.join(self.meta_dir, f"v{version}.json"), json.dumps(manifest))
         _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
@@ -543,6 +671,7 @@ class LakeTable:
         spark: SparkSession,
         buckets: set[int] | None = None,
         gc_horizon_ts: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Fold delta files back into base files (merge-on-read →
         merge-on-write, amortized): LWW-merge base+delta for every bucket
@@ -580,6 +709,12 @@ class LakeTable:
         merged = merged.withColumn(
             BUCKET_COL, bucket_expr(F.col(self.key_col), self.num_buckets)
         )
+        # key-sorted base files (Iceberg sort order): a LOCAL sort on the
+        # already-bucket-partitioned data — no shuffle. partitionBy's
+        # required ordering (bucket) is satisfied by (bucket, key), so the
+        # write preserves it; each base file then covers a tight key range
+        # and the manifest min/max bounds make point lookups skip files.
+        merged = merged.sortWithinPartitions(BUCKET_COL, self.key_col)
         self.commit(
             merged,
             touched_buckets=targets,
@@ -588,6 +723,7 @@ class LakeTable:
             summary={"compacted_buckets": len(targets)},
             mode="rewrite",
             gc_horizon=gc_horizon_ts,
+            max_records_per_file=max_records_per_file,
         )
         return len(targets)
 
