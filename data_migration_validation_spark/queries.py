@@ -308,6 +308,77 @@ FROM state_old o JOIN state_new n USING (url) WHERE o.seq <> n.seq
 """
 
 
+def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope round-trip: build deterministic Debezium-style
+    JSON change envelopes from the documents table (each engine serializes
+    with its own JSON builder), parse them with the connector
+    (``sources/debezium.parse_debezium`` — one ``from_json``, expression
+    only), and return the normalized event stream. The oracle builds the
+    same envelopes with DuckDB ``json_object`` and extracts with
+    ``json_extract``, so op mapping (c/r→I, u→U, d→D), before/after key
+    fallback, ts_ms→timestamp, and lsn→seq all cross-check."""
+    from data_migration_validation_spark.sources.debezium import parse_debezium
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    op_raw = F.element_at(F.array(F.lit("d"), F.lit("c"), F.lit("u"), F.lit("r")), (d % 4 + 1).cast("int"))
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), d.cast("string"))
+    row = F.struct(url.alias("url"), F.col("lang").alias("lang"), F.col("text").alias("text"))
+    ts_ms = (F.lit(1704067200000) + d * 1000).cast("long")
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(op_raw == "d", row).alias("before"),
+                F.when(op_raw != "d", row).alias("after"),
+                F.struct(ts_ms.alias("ts_ms"), (d * 10).cast("long").alias("lsn"), F.lit("documents").alias("table")).alias("source"),
+                op_raw.alias("op"),
+                ts_ms.alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    parsed = parse_debezium(docs.select(env.alias("value")))
+    return parsed.select(
+        "op", "url", "warc_ts", "seq",
+        F.col("payload.lang").alias("lang"),
+        F.col("payload.text").alias("text"),
+    )
+
+
+def cdc_envelope_parse_oracle() -> str:
+    return """
+WITH src AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || doc_id AS url,
+         lang, text,
+         ['d','c','u','r'][doc_id % 4 + 1] AS opr,
+         1704067200000 + doc_id * 1000 AS ts_ms,
+         doc_id * 10 AS lsn
+  FROM documents
+),
+env AS (
+  SELECT json_object(
+    'payload', json_object(
+      'before', CASE WHEN opr = 'd' THEN json_object('url', url, 'lang', lang, 'text', text) END,
+      'after',  CASE WHEN opr <> 'd' THEN json_object('url', url, 'lang', lang, 'text', text) END,
+      'source', json_object('ts_ms', ts_ms, 'lsn', lsn, 'table', 'documents'),
+      'op', opr, 'ts_ms', ts_ms)
+  ) AS v FROM src
+)
+SELECT
+  CASE json_extract_string(v, '$.payload.op')
+    WHEN 'c' THEN 'I' WHEN 'r' THEN 'I' WHEN 'u' THEN 'U' ELSE 'D' END AS op,
+  coalesce(json_extract_string(v, '$.payload.after.url'),
+           json_extract_string(v, '$.payload.before.url')) AS url,
+  make_timestamp(CAST(json_extract(v, '$.payload.source.ts_ms') AS BIGINT) * 1000) AS warc_ts,
+  CAST(json_extract(v, '$.payload.source.lsn') AS BIGINT) AS seq,
+  CASE WHEN json_extract_string(v, '$.payload.op') = 'd' THEN NULL
+       ELSE json_extract_string(v, '$.payload.after.lang') END AS lang,
+  CASE WHEN json_extract_string(v, '$.payload.op') = 'd' THEN NULL
+       ELSE json_extract_string(v, '$.payload.after.text') END AS text
+FROM env
+"""
+
+
 def cdc_final_state_oracle() -> str:
     return f"""
 WITH exploded AS (
@@ -1055,6 +1126,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
     "cdc_state_asof": (cdc_state_asof, cdc_state_asof_oracle()),
     "cdc_changes": (cdc_changes, cdc_changes_oracle()),
+    "cdc_envelope_parse": (cdc_envelope_parse, cdc_envelope_parse_oracle()),
     "lww_events": (lww_events, lww_events_oracle()),
     "windowed_event_stats": (windowed_event_stats, windowed_event_stats_oracle()),
     "session_event_stats": (session_event_stats, session_event_stats_oracle()),
