@@ -153,6 +153,50 @@ def cogroup_reconcile(
     )
 
 
+def incremental_reconcile(
+    engine,
+    reference: DataFrame,
+    since_epoch: int,
+    columns: Iterable[str] | None = None,
+    use_cogroup: bool = True,
+) -> DataFrame:
+    """Reconcile ONLY the state that could have changed since a prior
+    reconcile: the continuous-validation shape for a table under
+    continuous ingest. A full byte-exact reconcile of a 100-TB table per
+    epoch is the cost of the table; but if the reconcile at
+    ``since_epoch`` passed, every bucket untouched by later epoch commits
+    is still correct by construction — so this reads just the changed
+    buckets (``LakeTable.buckets_changed_between``, manifest-only) and
+    prunes the REFERENCE side with the same bucket function before the
+    cogroup, making verification cost proportional to the ingested
+    epochs, not the table.
+
+    Contract: findings outside the changed buckets are out of scope by
+    assumption (the prior reconcile vouches for them) — this is an
+    incremental delta-check, not a full audit. Falls back to a full
+    reconcile when the changed set is unknowable (GC/rebucket in range,
+    pre-record commits). ``engine`` is a ``CDCApplyEngine``; the engine's
+    materialized live state is OLD, ``reference`` is NEW."""
+    from data_migration_validation_spark.plans.lake import bucket_expr
+
+    lake = engine.lake
+    v1 = lake.version_asof_epoch(since_epoch)
+    cur = lake.current_version()
+    if cur is None:
+        raise ValueError("empty table: nothing to reconcile")
+    buckets = lake.buckets_changed_between(v1, cur)
+    key = lake.key_col
+    state = lake.read(engine.spark, buckets=buckets)
+    if state is not None and "deleted" in state.columns:
+        state = state.where(~F.col("deleted")).drop("deleted")
+    if buckets is not None:
+        reference = reference.where(
+            bucket_expr(F.col(key), lake.num_buckets).isin([int(b) for b in buckets])
+        )
+    fn = cogroup_reconcile if use_cogroup else snapshot_diff
+    return fn(state, reference, key, columns)
+
+
 def reconciliation_report(diff: DataFrame) -> dict[str, int]:
     """Tiny driver-side summary: counts per kind (the engine's PASS/FAIL
     pill — reference src/validate.py:72-110 results list)."""
