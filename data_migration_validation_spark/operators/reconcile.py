@@ -175,8 +175,10 @@ def incremental_reconcile(
     assumption (the prior reconcile vouches for them) — this is an
     incremental delta-check, not a full audit. Falls back to a full
     reconcile when the changed set is unknowable (GC/rebucket in range,
-    pre-record commits). ``engine`` is a ``CDCApplyEngine``; the engine's
-    materialized live state is OLD, ``reference`` is NEW."""
+    pre-record commits). ``engine`` is a ``CDCApplyEngine``; ``reference``
+    is OLD (the expected side) and the engine's materialized live state
+    is NEW — same orientation as the full-reconcile CLI, so ``kind``
+    values read identically in both modes."""
     from data_migration_validation_spark.plans.lake import bucket_expr
 
     lake = engine.lake
@@ -194,7 +196,7 @@ def incremental_reconcile(
             bucket_expr(F.col(key), lake.num_buckets).isin([int(b) for b in buckets])
         )
     fn = cogroup_reconcile if use_cogroup else snapshot_diff
-    return fn(state, reference, key, columns)
+    return fn(reference, state, key, columns)
 
 
 def reconciliation_report(diff: DataFrame) -> dict[str, int]:

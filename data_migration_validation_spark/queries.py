@@ -344,6 +344,96 @@ def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-merge fold (sparse CDC events): derive a deterministic
+    sparse-event stream from the documents table — inserts carry the full
+    image, updates patch ONLY lang (odd versions) or ONLY text (even
+    versions), deletes are barriers — and fold it with
+    ``operators/patch.patch_fold`` (per-column LWW bounded by the last
+    full-image barrier, one shuffle, expression-only). The oracle
+    recomputes the same semantics with filtered ``arg_max`` in DuckDB, so
+    barrier logic (no leak through deletes, insert resets, upsert-by-
+    patch after a delete) cross-checks value-for-value."""
+    from data_migration_validation_spark.operators.patch import patch_fold
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nv = d % 3 + 1
+    exploded = docs.select(
+        "doc_id", "text", "lang", "source",
+        F.explode(F.sequence(F.lit(0), nv - 1)).alias("v"),
+    )
+    d, v = F.col("doc_id"), F.col("v")
+    is_del = (v > 0) & ((d + v) % 5 == 0)
+    op = F.when(is_del, F.lit("D")).when(v == 0, F.lit("I")).otherwise(F.lit("U"))
+    lang_p = (
+        F.when(is_del, F.lit(None).cast("string"))
+        .when(v == 0, F.col("lang"))
+        .when(v % 2 == 1, F.concat(F.col("lang"), F.lit("_v"), v.cast("string")))
+    )
+    text_p = (
+        F.when(is_del, F.lit(None).cast("string"))
+        .when(v == 0, F.concat(F.col("text"), F.lit(" v0")))
+        .when(v % 2 == 0, F.concat(F.col("text"), F.lit(" v"), v.cast("string")))
+    )
+    events = exploded.select(
+        op.alias("op"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), d.cast("string")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=(v * 3600 + d % 60).cast("double"))
+        ).alias("warc_ts"),
+        (d * 3 + v).alias("seq"),
+        lang_p.alias("lang"),
+        text_p.alias("text"),
+    )
+    return patch_fold(events).select("url", "warc_ts", "seq", "lang", "text")
+
+
+def cdc_patch_state_oracle() -> str:
+    return """
+WITH exploded AS (
+  SELECT doc_id, text, lang, source, v
+  FROM documents, (SELECT unnest(generate_series(0, 2)) AS v) versions
+  WHERE v <= doc_id % 3
+),
+ev AS (
+  SELECT
+    CASE WHEN v > 0 AND (doc_id + v) % 5 = 0 THEN 'D'
+         WHEN v = 0 THEN 'I' ELSE 'U' END AS op,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    TIMESTAMP '2024-01-01 00:00:00' + (v*3600 + doc_id % 60) * INTERVAL 1 SECOND AS warc_ts,
+    doc_id * 3 + v AS seq,
+    CASE WHEN v > 0 AND (doc_id + v) % 5 = 0 THEN NULL
+         WHEN v = 0 THEN lang
+         WHEN v % 2 = 1 THEN lang || '_v' || v END AS lang,
+    CASE WHEN v > 0 AND (doc_id + v) % 5 = 0 THEN NULL
+         WHEN v = 0 THEN text || ' v0'
+         WHEN v % 2 = 0 THEN text || ' v' || v END AS text
+  FROM exploded
+),
+bar AS (
+  SELECT url,
+         max(warc_ts) FILTER (WHERE op IN ('I','D')) AS b_ts,
+         arg_max(op, warc_ts) FILTER (WHERE op IN ('I','D')) AS b_op,
+         arg_max(op, warc_ts) AS last_op,
+         max(warc_ts) AS last_ts,
+         arg_max(seq, warc_ts) AS last_seq
+  FROM ev GROUP BY url
+),
+st AS (
+  SELECT e.url,
+         arg_max(e.lang, e.warc_ts) FILTER (WHERE e.lang IS NOT NULL AND
+           (b.b_ts IS NULL OR e.warc_ts > b.b_ts OR (e.warc_ts = b.b_ts AND b.b_op <> 'D'))) AS lang,
+         arg_max(e.text, e.warc_ts) FILTER (WHERE e.text IS NOT NULL AND
+           (b.b_ts IS NULL OR e.warc_ts > b.b_ts OR (e.warc_ts = b.b_ts AND b.b_op <> 'D'))) AS text
+  FROM ev e LEFT JOIN bar b USING (url) GROUP BY e.url
+)
+SELECT b.url, b.last_ts AS warc_ts, b.last_seq AS seq, st.lang, st.text
+FROM st JOIN bar b USING (url) WHERE b.last_op <> 'D'
+"""
+
+
 def cdc_envelope_parse_oracle() -> str:
     return """
 WITH src AS (
@@ -1127,6 +1217,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_state_asof": (cdc_state_asof, cdc_state_asof_oracle()),
     "cdc_changes": (cdc_changes, cdc_changes_oracle()),
     "cdc_envelope_parse": (cdc_envelope_parse, cdc_envelope_parse_oracle()),
+    "cdc_patch_state": (cdc_patch_state, cdc_patch_state_oracle()),
     "lww_events": (lww_events, lww_events_oracle()),
     "windowed_event_stats": (windowed_event_stats, windowed_event_stats_oracle()),
     "session_event_stats": (session_event_stats, session_event_stats_oracle()),

@@ -152,9 +152,111 @@ def cmd_expire(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lookup(args: argparse.Namespace) -> int:
+    """Point lookup: one key's live row via manifest file skipping —
+    bucket + per-file key bounds, a handful of files read, no scan."""
+    from pyspark.sql import functions as F
+
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    spark = _spark("dmv-lookup")
+    lake = LakeTable(args.table)
+    base_g, delta_g, bucket = lake.lookup_files(args.key_value)
+    df = lake.lookup(spark, args.key_value)
+    if df is not None and "deleted" in df.columns:
+        df = df.where(~F.col("deleted")).drop("deleted")
+    rows = [] if df is None else [r.asDict(recursive=True) for r in df.collect()]
+    for r in rows:  # binary columns aren't JSON-serializable
+        for k, v in list(r.items()):
+            if isinstance(v, (bytes, bytearray)):
+                r[k] = f"<{len(v)} bytes>"
+            elif not isinstance(v, (str, int, float, bool, type(None))):
+                r[k] = str(v)
+    print(
+        json.dumps(
+            {
+                "command": "lookup",
+                "key": args.key_value,
+                "bucket": bucket,
+                "files_read": sum(len(fs) for g in (base_g, delta_g) for fs in g.values()),
+                "found": len(rows),
+                "rows": rows,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_changes(args: argparse.Namespace) -> int:
+    """Change-data-feed: row-level changes since an epoch, written to
+    parquet; prints per-change-type counts."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+
+    spark = _spark("dmv-changes")
+    engine = CDCApplyEngine(
+        spark,
+        table_path=args.table,
+        checkpoint_path=args.checkpoint or tempfile.mkdtemp(prefix="dmv-cdf-ckpt-"),
+    )
+    feed = engine.read_changes(
+        from_epoch=args.since_epoch,
+        to_epoch=args.to_epoch if args.to_epoch >= 0 else None,
+    )
+    if feed is None:
+        print(json.dumps({"command": "changes", "error": "empty table"}))
+        return 1
+    if args.out:
+        feed.write.mode("overwrite").parquet(args.out)
+        feed = spark.read.parquet(args.out)  # count from the written feed
+    counts = {
+        r["_change_type"]: r["count"]
+        for r in feed.groupBy("_change_type").count().collect()
+    }
+    print(json.dumps({"command": "changes", "since_epoch": args.since_epoch, "counts": counts}))
+    return 0
+
+
+def cmd_quarantine(args: argparse.Namespace) -> int:
+    """Dead-letter table: counts per rejection reason (and optional CSV)."""
+    import os
+
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+
+    spark = _spark("dmv-quarantine")
+    qdir = os.path.join(args.table, "_quarantine")
+    if not os.path.isdir(qdir):
+        print(json.dumps({"command": "quarantine", "quarantined": 0, "reasons": {}}))
+        return 0
+    df = spark.read.option("mergeSchema", "true").parquet(qdir)
+    if args.out:
+        (
+            df.drop("payload")
+            .orderBy("epoch", "seq")
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(args.out)
+        )
+    reasons = {r["_reason"]: r["count"] for r in df.groupBy("_reason").count().collect()}
+    print(
+        json.dumps(
+            {
+                "command": "quarantine",
+                "quarantined": sum(reasons.values()),
+                "reasons": reasons,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_reconcile(args: argparse.Namespace) -> int:
     from data_migration_validation_spark.operators.reconcile import (
         cogroup_reconcile,
+        incremental_reconcile,
         reconciliation_report,
     )
     from data_migration_validation_spark.plans.apply import CDCApplyEngine
@@ -163,9 +265,14 @@ def cmd_reconcile(args: argparse.Namespace) -> int:
     engine = CDCApplyEngine(
         spark, table_path=args.table, checkpoint_path=args.checkpoint, key_col=args.key
     )
-    final = engine.read_final()
     expected = spark.read.parquet(args.expected)
-    diff = cogroup_reconcile(expected, final, key=engine.key_col)
+    if args.since_epoch >= 0:
+        # incremental: only buckets touched since the last passing
+        # reconcile are re-verified (delta-check contract)
+        diff = incremental_reconcile(engine, expected, since_epoch=args.since_epoch)
+    else:
+        final = engine.read_final()
+        diff = cogroup_reconcile(expected, final, key=engine.key_col)
     if args.out:
         diff.orderBy("key", "column").write.mode("overwrite").option("header", True).csv(args.out)
     report = reconciliation_report(diff)
@@ -394,7 +501,35 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--expected", required=True)
     r.add_argument("--key", default=None, help="defaults to the table's recorded key column")
     r.add_argument("--out", default="")
+    r.add_argument(
+        "--since-epoch",
+        type=int,
+        default=-1,
+        dest="since_epoch",
+        help="incremental: re-verify only buckets touched since this epoch "
+        "(assumes the reconcile at that epoch passed); -1 = full reconcile",
+    )
     r.set_defaults(fn=cmd_reconcile)
+
+    lk = sub.add_parser("lookup", help="point lookup of one key (manifest file skipping)")
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--key-value", required=True, dest="key_value")
+    lk.set_defaults(fn=cmd_lookup)
+
+    ch = sub.add_parser("changes", help="change-data-feed between epoch-line points")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--checkpoint", default="")
+    ch.add_argument("--since-epoch", type=int, required=True, dest="since_epoch")
+    ch.add_argument(
+        "--to-epoch", type=int, default=-1, dest="to_epoch", help="-1 = current HEAD"
+    )
+    ch.add_argument("--out", default="", help="write the feed to this parquet path")
+    ch.set_defaults(fn=cmd_changes)
+
+    q = sub.add_parser("quarantine", help="dead-letter table summary (and optional CSV)")
+    q.add_argument("--table", required=True)
+    q.add_argument("--out", default="")
+    q.set_defaults(fn=cmd_quarantine)
 
     v = sub.add_parser("validate", help="migration validation of OLD/NEW tables")
     v.add_argument("--old", required=True)

@@ -174,3 +174,46 @@ def test_expire_cli(spark, tmp_path):
     lake2 = LakeTable(table)
     assert lake2.versions() == [lake2.current_version()]
     assert lake2.read(spark).count() > 0
+
+
+def test_lookup_changes_quarantine_cli(spark, tmp_path, capsys):
+    """generate → apply, then the incremental-consumption surface: point
+    lookup (file-skipped), change-data-feed since an epoch, dead-letter
+    summary, and incremental reconcile — all through the CLI."""
+    log = str(tmp_path / "clog")
+    table = str(tmp_path / "ctable")
+    ckpt = str(tmp_path / "cckpt")
+
+    assert _run(["generate", "--out", log, "--keys", "300", "--events-per-epoch", "400"]) == 0
+    assert _run(["apply", "--log", log, "--table", table, "--checkpoint", ckpt, "--buckets", "8"]) == 0
+    capsys.readouterr()
+
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+
+    eng = CDCApplyEngine(spark, table_path=table, checkpoint_path=ckpt)
+    url = eng.read_final().limit(1).collect()[0]["url"]
+
+    assert _run(["lookup", "--table", table, "--key-value", url]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["found"] == 1 and out["rows"][0]["url"] == url
+    assert out["files_read"] >= 1
+
+    feed_out = str(tmp_path / "feed")
+    assert _run(["changes", "--table", table, "--since-epoch", "0", "--out", feed_out]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(out["counts"].values()) > 0
+    assert os.path.isdir(feed_out)
+
+    # no malformed events were generated → empty quarantine
+    assert _run(["quarantine", "--table", table]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["quarantined"] == 0
+
+    # incremental reconcile against the table's own final state: clean
+    exp = str(tmp_path / "cexpected")
+    eng.read_final().write.mode("overwrite").parquet(exp)
+    rc = _run(
+        ["reconcile", "--table", table, "--checkpoint", ckpt, "--expected", exp,
+         "--since-epoch", "0"]
+    )
+    assert rc == 0
