@@ -1,0 +1,104 @@
+"""Write-audit-publish audits: data-quality gates evaluated against a
+STAGED commit before it becomes visible.
+
+This is the reference's validation surface (null checks
+src/validate.py:95-110, format validators docs/script.js:36-46,273-306,
+duplicate keys src/validate.py:85-92) promoted from after-the-fact
+reporting to an ingestion gate: the apply engine stages each epoch's
+commit (``LakeTable.commit(publish=False)``), runs the audit over the
+files that commit ADDED, and only publishes the snapshot if every check
+returns zero violations — bad data never becomes readable state, and a
+rejected epoch leaves the table untouched (Iceberg's WAP pattern).
+
+Scale shape: ONE aggregation job over the staged files — every check is
+a conditional-sum column in a single ``agg`` (no joins, no per-check
+scans), and the staged files of a merge-on-read epoch are the epoch's
+winners, so audit cost is O(epoch) regardless of table size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+AuditFn = Callable[[DataFrame], dict[str, int]]
+
+# Reference format regexes (docs/script.js:36-42), reused by the CLI's
+# default ingest audit for the engine's page envelope.
+URL_RE = r"^https?://\S+$"
+
+
+def standard_audit(
+    key_col: str = "url",
+    not_null: Sequence[str] = (),
+    rules: Sequence[tuple[str, Column] | tuple[str, Column, Sequence[str]]] = (),
+) -> AuditFn:
+    """Build an audit function for :meth:`CDCApplyEngine.apply_epoch`.
+
+    Always checks: ``null_key`` (a row with no key) and
+    ``duplicate_keys`` (two rows for one key within the audited commit —
+    the LWW merge guarantees at most one winner per key per commit, so a
+    nonzero count means the merge invariant broke). ``not_null`` adds a
+    null-count check per named column; ``rules`` adds named format checks
+    — each ``(name, predicate)`` or ``(name, predicate, required_cols)``
+    where the predicate is a boolean Column that is True for GOOD rows
+    (violations = rows where it is null-safely not True). Checks whose
+    named/required columns the staged commit doesn't carry are skipped
+    (schema evolution mid-stream must not fail the audit machinery
+    itself).
+
+    Returns ``{check_name: violation_count}`` — all zeros ⇒ publish.
+    Tombstone rows (``deleted=true``) are exempt from ``not_null`` and
+    ``rules`` (a delete's payload is contractually null) but still count
+    for ``null_key``/``duplicate_keys``.
+    """
+
+    def _audit(staged: DataFrame) -> dict[str, int]:
+        live = (
+            ~F.col("deleted") if "deleted" in staged.columns else F.lit(True)
+        )
+        aggs = [
+            F.sum(F.col(key_col).isNull().cast("long")).alias("null_key"),
+            # non-null keys minus distinct keys: null keys are counted by
+            # null_key alone, never double-reported as duplicates
+            (F.count(F.col(key_col)) - F.count_distinct(F.col(key_col))).alias(
+                "duplicate_keys"
+            ),
+        ]
+        for c in not_null:
+            if c in staged.columns:
+                aggs.append(
+                    F.sum((live & F.col(c).isNull()).cast("long")).alias(f"null_{c}")
+                )
+        for rule in rules:
+            name, pred = rule[0], rule[1]
+            required = rule[2] if len(rule) > 2 else ()
+            if any(c not in staged.columns for c in required):
+                continue
+            # violation = live row where the predicate is not True
+            # (null-safe: a null predicate result is a violation too)
+            aggs.append(
+                F.sum((live & ~pred.eqNullSafe(F.lit(True))).cast("long")).alias(name)
+            )
+        row = staged.agg(*aggs).collect()[0]  # exactly one Spark job
+        return {k: int(v or 0) for k, v in row.asDict().items()}
+
+    return _audit
+
+
+def page_envelope_audit() -> AuditFn:
+    """The engine's default ingest gate for the web-page envelope
+    (BASELINE.json input_hint: url/warc_ts/html/text/lang): well-formed
+    urls, order columns present, and non-null extracted text wherever the
+    event carried html."""
+    html_implies_text = F.col("html").isNull() | F.col("text").isNotNull()
+    return standard_audit(
+        key_col="url",
+        not_null=("warc_ts", "seq"),
+        rules=[
+            ("bad_url_format", F.col("url").rlike(URL_RE)),
+            ("html_without_text", html_implies_text, ("html", "text")),
+        ],
+    )

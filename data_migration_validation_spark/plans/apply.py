@@ -73,6 +73,12 @@ class ApplyStats:
     buckets_touched: int = 0
     seconds: float = 0.0
     quarantined: int = 0
+    # write-audit-publish outcome: rejected=True means the staged commit
+    # FAILED its audit and was discarded — the table did not change and
+    # the epoch is not checkpointed (a later retry re-stages it).
+    # audit_violations carries the nonzero check counts.
+    rejected: bool = False
+    audit_violations: dict | None = None
 
 
 class CDCApplyEngine:
@@ -153,6 +159,8 @@ class CDCApplyEngine:
         events: DataFrame,
         epoch: int,
         crash_after_commit: bool = False,
+        audit=None,
+        crash_after_stage: bool = False,
     ) -> ApplyStats:
         """Apply one epoch's events to the lake table.
 
@@ -162,7 +170,19 @@ class CDCApplyEngine:
         increasing_id), no sampling, no source directory mutated
         mid-epoch. A violation would put rows in buckets outside the
         declared touched set; ``LakeTable.commit`` fails such commits
-        rather than silently double-registering state."""
+        rather than silently double-registering state.
+
+        ``audit`` (write-audit-publish, Iceberg WAP): a callable
+        ``DataFrame -> {check: violations}`` (see ``operators/audit``).
+        When set, the epoch's commit is STAGED invisibly, the audit runs
+        over exactly the files the commit added (O(epoch) in mor mode),
+        and the snapshot is published only if every count is zero —
+        otherwise the stage is discarded, the table is untouched, the
+        epoch stays un-checkpointed (a retry re-stages it), and the
+        returned stats carry ``rejected=True`` + the violation counts.
+        A crash between staging and publish leaves an invisible orphan
+        manifest; the retry re-stages under a fresh version and the
+        orphan is reclaimable via ``LakeTable.cleanup_staged()``."""
         t0 = time.monotonic()
         if epoch in self.lake.epochs_applied():
             return ApplyStats(epoch=epoch, skipped=True)
@@ -287,6 +307,7 @@ class CDCApplyEngine:
                 schema=target,
                 summary={"applied_events": n_events},
                 mode="delta",
+                publish=audit is None,
             )
         else:
             # 4. in-batch LWW (CoW path). Window path: SKIPPED as a
@@ -338,7 +359,48 @@ class CDCApplyEngine:
                 schema=target,
                 summary={"applied_events": n_events},
                 mode="rewrite",
+                publish=audit is None,
             )
+
+        if committed and audit is not None:
+            staged_v = self.lake.last_staged_version
+            if crash_after_stage:
+                raise RuntimeError("injected crash between stage and publish")
+            staged = self.lake.read_added(self.spark, staged_v)
+            violations = audit(staged)
+            bad = {k: int(v) for k, v in violations.items() if v}
+            self.ckpt.append_metrics(
+                [
+                    {
+                        "epoch": epoch,
+                        "stage": "audit",
+                        "metric": f"audit_{name}",
+                        "value": float(count),
+                    }
+                    for name, count in violations.items()
+                ]
+                + [
+                    {
+                        "epoch": epoch,
+                        "stage": "audit",
+                        "metric": "audit_rejected",
+                        "value": float(bool(bad)),
+                    }
+                ]
+            )
+            if bad:
+                self.lake.reject_staged(staged_v)
+                return ApplyStats(
+                    epoch=epoch,
+                    skipped=False,
+                    events_seen=int(n_events),
+                    buckets_touched=len(touched),
+                    seconds=time.monotonic() - t0,
+                    quarantined=int(n_quarantined),
+                    rejected=True,
+                    audit_violations=bad,
+                )
+            self.lake.publish(staged_v)
         commit_ts = time.time()
         if committed:
             self.ckpt.append_lineage(
@@ -439,13 +501,21 @@ class CDCApplyEngine:
 
     # -- full replay --------------------------------------------------------------
 
-    def replay(self, slices: dict[int, DataFrame], resume: bool = True) -> list[ApplyStats]:
+    def replay(
+        self, slices: dict[int, DataFrame], resume: bool = True, audit=None
+    ) -> list[ApplyStats]:
         """Apply epoch slices in epoch order; with resume=True, epochs at or
         below the checkpoint are still offered to apply_epoch, whose lake
-        guard skips them (the lake, not the checkpoint, is truth)."""
+        guard skips them (the lake, not the checkpoint, is truth).
+        ``audit`` enables write-audit-publish per epoch; a rejected epoch
+        STOPS the replay (later epochs must not commit on top of a hole
+        in the epoch line) — its stats entry carries the violations."""
         stats = []
         for epoch in sorted(slices):
-            stats.append(self.apply_epoch(slices[epoch], epoch))
+            st = self.apply_epoch(slices[epoch], epoch, audit=audit)
+            stats.append(st)
+            if st.rejected:
+                break
         return stats
 
     # -- reads ---------------------------------------------------------------------

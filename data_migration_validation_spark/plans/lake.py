@@ -184,6 +184,8 @@ class LakeTable:
         self.path = path
         self.meta_dir = os.path.join(path, "_meta")
         self.data_dir = os.path.join(path, "data")
+        # version of the most recent publish=False commit (WAP stage)
+        self.last_staged_version: int | None = None
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         stored = self._stored_props()
@@ -247,22 +249,38 @@ class LakeTable:
             file_stats=m.get("file_stats", {}),
         )
 
+    def _all_manifest_versions(self) -> list[int]:
+        return sorted(
+            int(fn[1:-5])
+            for fn in os.listdir(self.meta_dir)
+            if fn.startswith("v") and fn.endswith(".json")
+        )
+
     def versions(self) -> list[int]:
-        """All published snapshot versions, ascending. Only versions the
-        CURRENT pointer has ever covered are listed (an orphan manifest
-        from a crash before the pointer flip is not a published version)."""
+        """All published snapshot versions, ascending — the PARENT CHAIN
+        from CURRENT, not every manifest on disk: an orphan manifest from
+        a crash between staging and publish is never published, even
+        after later commits push CURRENT past its number (numeric order
+        cannot distinguish the two once that happens, the chain can).
+        Manifests that predate parent-tracking fall back to numeric order
+        (their history was linear by construction)."""
         cur = self.current_version()
         if cur is None:
             return []
-        return [
-            v
-            for v in sorted(
-                int(fn[1:-5])
-                for fn in os.listdir(self.meta_dir)
-                if fn.startswith("v") and fn.endswith(".json")
-            )
-            if v <= cur
-        ]
+        chain: list[int] = []
+        v: int | None = cur
+        while v is not None:
+            if not os.path.exists(os.path.join(self.meta_dir, f"v{v}.json")):
+                break  # ancestor expired (expire_snapshots): history ends here
+            m = self._manifest_raw(v)
+            chain.append(v)
+            if "parent" not in m:
+                # legacy manifest (pre-WAP): every lower version is an
+                # ancestor — staging didn't exist, history was linear
+                chain.extend(x for x in self._all_manifest_versions() if x < v)
+                break
+            v = m["parent"]
+        return sorted(set(chain))
 
     def version_asof_epoch(self, epoch: int) -> int | None:
         """Latest published version whose state reflects batch epochs
@@ -483,8 +501,21 @@ class LakeTable:
         mode: str = "rewrite",
         gc_horizon: str | None = None,
         max_records_per_file: int | None = None,
+        publish: bool = True,
     ) -> tuple[bool, int]:
         """Atomically commit one epoch and publish the new manifest.
+
+        ``publish=False`` STAGES the commit (Iceberg write-audit-publish):
+        the data files and manifest are written, but the CURRENT pointer
+        is not flipped — readers of the table see nothing, while an
+        auditor can read the staged snapshot by version
+        (``read(version=...)`` / ``read_added``). :meth:`publish` flips
+        the pointer iff the table hasn't moved since staging (optimistic
+        concurrency on the recorded parent version); :meth:`reject_staged`
+        discards the staged files. A crash between staging and publish
+        leaves an orphan manifest that is invisible (``versions()`` only
+        lists published versions), never reuses a version number, and is
+        reclaimable via :meth:`cleanup_staged`.
 
         ``mode="delta"`` (merge-on-read): the written files are appended
         as DELTA files for the touched buckets; every base file and every
@@ -640,6 +671,13 @@ class LakeTable:
         horizon = max(filter(None, [prev_horizon, gc_horizon]), default=None)
         manifest = {
             "version": version,
+            # WAP bookkeeping: the published version this commit built on
+            # (publish() refuses to flip the pointer if the table moved),
+            # and the directory of files this commit ADDED (the audit unit
+            # — read_added() reads exactly these, cost ∝ the commit, never
+            # the table)
+            "parent": prev.version if prev else None,
+            "commit_dir": commit_dir,
             "epochs": sorted(applied | {epoch}) if epoch is not None else sorted(applied),
             "schema": schema.json(),
             "file_groups": file_groups,
@@ -661,8 +699,78 @@ class LakeTable:
             "file_stats": file_stats,
         }
         _atomic_write(os.path.join(self.meta_dir, f"v{version}.json"), json.dumps(manifest))
-        _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
+        if publish:
+            _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
+        else:
+            self.last_staged_version = version
         return True, rows_written
+
+    # -- write-audit-publish ----------------------------------------------------
+
+    def _manifest_raw(self, version: int) -> dict:
+        with open(os.path.join(self.meta_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    def staged_versions(self) -> list[int]:
+        """Manifests written but never published (not on CURRENT's parent
+        chain): in-flight WAP stages plus orphans from crashes between
+        staging and publish. Ascending."""
+        published = set(self.versions())
+        return [v for v in self._all_manifest_versions() if v not in published]
+
+    def read_added(self, spark: SparkSession, version: int) -> DataFrame | None:
+        """Read ONLY the files a commit ADDED (its own commit dir) — the
+        write-audit-publish audit unit: for a merge-on-read epoch these
+        are the epoch's LWW winners, so auditing them costs O(epoch), not
+        O(table), regardless of lake size. ``_bucket`` partition dirs are
+        resolved and dropped."""
+        commit_dir = self._manifest_raw(version).get("commit_dir")
+        if not commit_dir or not os.path.isdir(commit_dir):
+            return None
+        df = spark.read.parquet(commit_dir)
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    def publish(self, version: int) -> None:
+        """Publish a staged commit: flip CURRENT to ``version``, iff the
+        table's published head is still the parent the stage was built on
+        (optimistic concurrency — the Iceberg commit-conflict rule). A
+        stale stage must be rejected and re-staged against the new head;
+        fast-forwarding it would silently drop the interleaved commit's
+        files from the merged manifest."""
+        m = self._manifest_raw(version)
+        cur = self.current_version()
+        if cur == version:
+            return  # already published (publish-retry after crash)
+        if m.get("parent") != cur:
+            raise RuntimeError(
+                f"cannot publish staged v{version}: built on parent "
+                f"{m.get('parent')} but the table head is now {cur} — "
+                "reject and re-stage against the current head"
+            )
+        _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
+
+    def reject_staged(self, version: int) -> None:
+        """Discard a staged commit: delete the files it added and its
+        manifest. Refuses published versions (those are table history)."""
+        if version in set(self.versions()):
+            raise ValueError(f"v{version} is published; reject_staged only discards stages")
+        m = self._manifest_raw(version)
+        commit_dir = m.get("commit_dir")
+        if commit_dir and os.path.isdir(commit_dir):
+            import shutil
+
+            shutil.rmtree(commit_dir)
+        os.unlink(os.path.join(self.meta_dir, f"v{version}.json"))
+
+    def cleanup_staged(self) -> int:
+        """Reclaim ALL unpublished manifests and their files (orphans from
+        crashes between staging and publish). Single-writer maintenance
+        op — do not run concurrently with an in-flight stage. Returns the
+        number of stages removed."""
+        staged = self.staged_versions()
+        for v in staged:
+            self.reject_staged(v)
+        return len(staged)
 
     # -- compaction ------------------------------------------------------------
 

@@ -89,22 +89,44 @@ def cmd_apply(args: argparse.Namespace) -> int:
     # checkpointed epoch itself is re-offered and the lake's idempotency
     # guard no-ops it (crash-between-commit-and-checkpoint safety).
     start = int(lo) if (args.no_resume or last is None) else max(int(lo), last)
+    audit = None
+    if args.audit:
+        from data_migration_validation_spark.operators.audit import page_envelope_audit
+
+        audit = page_envelope_audit()
     for epoch in range(int(lo), int(hi) + 1):
         if epoch < start:
             continue
-        st = engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
-        print(
-            json.dumps(
-                {
-                    "epoch": st.epoch,
-                    "skipped": st.skipped,
-                    "applied_events": st.events_seen,
-                    "rows_written": st.rows_written,
-                    "buckets_touched": st.buckets_touched,
-                    "seconds": round(st.seconds, 3),
-                }
-            )
+        st = engine.apply_epoch(
+            log.where(F.col("batch_epoch") == epoch), epoch, audit=audit
         )
+        out = {
+            "epoch": st.epoch,
+            "skipped": st.skipped,
+            "applied_events": st.events_seen,
+            "rows_written": st.rows_written,
+            "buckets_touched": st.buckets_touched,
+            "seconds": round(st.seconds, 3),
+        }
+        if st.rejected:
+            out["rejected"] = True
+            out["audit_violations"] = st.audit_violations
+        print(json.dumps(out))
+        if st.rejected:
+            # write-audit-publish gate: the staged commit failed its audit
+            # and was discarded; later epochs must not commit on top of a
+            # hole in the epoch line, so the replay stops here non-zero
+            final = engine.read_final()
+            print(
+                json.dumps(
+                    {
+                        "command": "apply",
+                        "rejected_epoch": st.epoch,
+                        "final_rows": final.count() if final is not None else 0,
+                    }
+                )
+            )
+            return 2
     final = engine.read_final()
     print(json.dumps({"command": "apply", "final_rows": final.count() if final is not None else 0}))
     return 0
@@ -442,6 +464,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="bucket count for a NEW table (default 64; an existing "
         "table's recorded count wins — change it with the rebucket command)",
+    )
+    a.add_argument(
+        "--audit",
+        action="store_true",
+        help="write-audit-publish: stage each epoch's commit, run the "
+        "page-envelope audit (url format, order columns, html⇒text) over "
+        "the staged files, publish only on zero violations; a rejected "
+        "epoch leaves the table untouched and stops the replay (exit 2)",
     )
     a.add_argument("--pandas-lww", action="store_true")
     a.add_argument(

@@ -217,3 +217,48 @@ def test_lookup_changes_quarantine_cli(spark, tmp_path, capsys):
          "--since-epoch", "0"]
     )
     assert rc == 0
+
+
+def test_apply_audit_cli(spark, tmp_path, capsys):
+    """apply --audit: the write-audit-publish gate through the CLI — a
+    clean epoch publishes; an epoch with a malformed url is rejected
+    (exit 2), leaves the table at the pre-epoch state, and a re-run
+    without the bad row completes."""
+    from datetime import datetime
+
+    log = str(tmp_path / "alog")
+    table = str(tmp_path / "atable")
+    ckpt = str(tmp_path / "ackpt")
+    schema = (
+        "op string, url string, warc_ts timestamp, seq long, "
+        "payload struct<html:binary,lang:string>, batch_epoch int"
+    )
+    rows = [
+        ("I", "https://a.example.com/1", datetime(2024, 1, 1), 0, (b"<html><p>a</p></html>", "en"), 0),
+        ("I", "https://a.example.com/2", datetime(2024, 1, 1, 1), 1, (b"<html><p>b</p></html>", "de"), 0),
+        ("U", "bogus url", datetime(2024, 1, 2), 2, (b"<html><p>c</p></html>", "en"), 1),
+    ]
+    spark.createDataFrame(rows, schema).write.partitionBy("batch_epoch").parquet(log)
+
+    rc = _run(["apply", "--log", log, "--table", table, "--checkpoint", ckpt,
+               "--buckets", "4", "--audit"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 2
+    rejected = json.loads(out[-1])
+    assert rejected["rejected_epoch"] == 1
+    assert rejected["final_rows"] == 2  # epoch 0 published, epoch 1 blocked
+    epoch1 = json.loads(out[-2])
+    assert epoch1["audit_violations"] == {"bad_url_format": 1}
+
+    # fix the feed (drop the bad row), re-run: resumes and publishes epoch 1
+    fixed = [r for r in rows if r[1].startswith("https://")] + [
+        ("U", "https://a.example.com/2", datetime(2024, 1, 2, 1), 3, (b"<html><p>d</p></html>", "de"), 1),
+    ]
+    import shutil
+
+    shutil.rmtree(log)
+    spark.createDataFrame(fixed, schema).write.partitionBy("batch_epoch").parquet(log)
+    rc = _run(["apply", "--log", log, "--table", table, "--checkpoint", ckpt, "--audit"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    assert json.loads(out[-1])["final_rows"] == 2

@@ -1,0 +1,191 @@
+"""Write-audit-publish: staged epoch commits gated by the validation
+checks (the reference's null/format/duplicate checks — src/validate.py:
+85-110, docs/script.js:36-46 — promoted to an ingestion gate).
+
+Contract under test: a failing audit leaves the table EXACTLY as it was
+(no new version, no new files, epoch un-checkpointed, retryable); a
+passing audit publishes atomically; a crash between stage and publish
+leaves only an invisible, reclaimable orphan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_validation_spark.operators.audit import (
+    page_envelope_audit,
+    standard_audit,
+)
+from data_migration_validation_spark.plans.apply import CDCApplyEngine
+from data_migration_validation_spark.sources.binlog import (
+    BinlogConfig,
+    epoch_slice,
+    expected_final_state,
+    synth_binlog,
+)
+
+EV_SCHEMA = (
+    "op string, url string, warc_ts timestamp, seq long, "
+    "payload struct<html:binary,lang:string>, batch_epoch int"
+)
+
+
+def _events(spark, rows, epoch=0):
+    data = [
+        (op, url, datetime.fromisoformat(ts), seq, (html, lang), epoch)
+        for op, url, ts, seq, html, lang in rows
+    ]
+    return spark.createDataFrame(data, EV_SCHEMA)
+
+
+def _engine(spark, tmp_path, name="t"):
+    return CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / name),
+        checkpoint_path=str(tmp_path / f"{name}-ckpt"),
+        num_buckets=4,
+    )
+
+
+GOOD = [
+    ("I", "https://a.example.com/1", "2024-01-01 00:00:00", 0, b"<html><p>hello</p></html>", "en"),
+    ("I", "https://a.example.com/2", "2024-01-01 00:01:00", 1, b"<html><p>welt</p></html>", "de"),
+]
+BAD_URL = [
+    ("I", "not a url", "2024-01-02 00:00:00", 10, b"<html><p>x</p></html>", "en"),
+    ("U", "https://a.example.com/1", "2024-01-02 00:01:00", 11, b"<html><p>hi</p></html>", "en"),
+]
+
+
+def test_good_epoch_stages_then_publishes(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    st = eng.apply_epoch(_events(spark, GOOD), 0, audit=page_envelope_audit())
+    assert not st.skipped and not st.rejected
+    assert eng.lake.epochs_applied() == {0}
+    assert eng.ckpt.last_epoch() == 0
+    assert eng.lake.staged_versions() == []  # published, nothing in flight
+    assert eng.read_final().count() == 2
+    # audit metrics recorded, including the zero-violation outcome
+    m = eng.ckpt.metrics()
+    audited = m[m["stage"] == "audit"]
+    assert "audit_bad_url_format" in set(audited["metric"])
+    assert audited[audited["metric"] == "audit_rejected"]["value"].tolist() == [0.0]
+
+
+def test_bad_epoch_rejected_table_untouched(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.apply_epoch(_events(spark, GOOD), 0, audit=page_envelope_audit())
+    v_before = eng.lake.current_version()
+
+    st = eng.apply_epoch(_events(spark, BAD_URL, epoch=1), 1, audit=page_envelope_audit())
+    assert st.rejected
+    assert st.audit_violations == {"bad_url_format": 1}
+    # the table did not move: same version, same state, epoch not applied,
+    # not checkpointed, and the stage was physically discarded
+    assert eng.lake.current_version() == v_before
+    assert eng.lake.epochs_applied() == {0}
+    assert eng.ckpt.last_epoch() == 0
+    assert eng.lake.staged_versions() == []
+    assert eng.read_final().count() == 2
+
+    # retry with corrected events publishes normally
+    fixed = [r for r in BAD_URL if r[1].startswith("https://")]
+    st2 = eng.apply_epoch(_events(spark, fixed, epoch=1), 1, audit=page_envelope_audit())
+    assert not st2.rejected
+    assert eng.lake.epochs_applied() == {0, 1}
+    got = {
+        r["url"]: r["lang"]
+        for r in eng.read_final().select("url", "lang").collect()
+    }
+    assert len(got) == 2 and "not a url" not in got
+
+
+def test_crash_between_stage_and_publish_is_recoverable(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.apply_epoch(_events(spark, GOOD), 0, audit=page_envelope_audit())
+    with pytest.raises(RuntimeError, match="stage and publish"):
+        eng.apply_epoch(
+            _events(spark, GOOD[:1], epoch=1), 1,
+            audit=page_envelope_audit(), crash_after_stage=True,
+        )
+    orphans = eng.lake.staged_versions()
+    assert len(orphans) == 1  # invisible: not published, not in history
+    assert eng.lake.epochs_applied() == {0}
+    assert eng.lake.versions() == [eng.lake.current_version()] or all(
+        v <= eng.lake.current_version() for v in eng.lake.versions()
+    )
+
+    # retry re-stages under a fresh version and publishes
+    st = eng.apply_epoch(_events(spark, GOOD[:1], epoch=1), 1, audit=page_envelope_audit())
+    assert not st.rejected and eng.lake.epochs_applied() == {0, 1}
+    # the orphan never becomes publishable (stale parent) and is reclaimable
+    with pytest.raises(RuntimeError, match="parent"):
+        eng.lake.publish(orphans[0])
+    import os
+
+    orphan_dir = eng.lake._manifest_raw(orphans[0])["commit_dir"]
+    assert os.path.isdir(orphan_dir)
+    assert eng.lake.cleanup_staged() == 1
+    assert not os.path.isdir(orphan_dir)
+    assert eng.lake.staged_versions() == []
+
+
+def test_wap_replay_matches_unaudited_final_state(spark, tmp_path):
+    """Full binlog replay (disorder, dups, tombstones) with the WAP gate
+    on every epoch: the audit must pass on real traffic and the final
+    state must equal the closed-form LWW oracle."""
+    cfg = BinlogConfig(n_keys=120, max_versions=3, events_per_epoch=120, seed=11)
+    log = synth_binlog(spark, cfg)
+    eng = _engine(spark, tmp_path, "replay")
+    stats = eng.replay(
+        {e: epoch_slice(log, cfg, e) for e in range(cfg.n_epochs)},
+        audit=page_envelope_audit(),
+    )
+    assert all(not s.rejected for s in stats)
+    final = eng.read_final().select("url", "warc_ts", "seq")
+    expected = expected_final_state(spark, cfg, log=log).select("url", "warc_ts", "seq")
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+
+
+def test_replay_stops_at_rejected_epoch(spark, tmp_path):
+    eng = _engine(spark, tmp_path)
+    slices = {
+        0: _events(spark, GOOD),
+        1: _events(spark, BAD_URL, epoch=1),
+        2: _events(spark, GOOD[:1], epoch=2),
+    }
+    stats = eng.replay(slices, audit=page_envelope_audit())
+    assert [s.epoch for s in stats] == [0, 1]
+    assert stats[1].rejected
+    assert eng.lake.epochs_applied() == {0}
+
+
+def test_standard_audit_counts(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("https://ok/1", "x", False),
+            ("https://ok/1", "y", False),  # duplicate key
+            (None, "z", False),            # null key
+            ("bad url", None, False),      # format violation + null col
+            ("https://ok/2", None, True),  # tombstone: exempt from rules
+        ],
+        "url string, text string, deleted boolean",
+    )
+    audit = standard_audit(
+        key_col="url",
+        not_null=("text",),
+        rules=[
+            ("bad_url_format", F.col("url").rlike(r"^https?://\S+$")),
+            ("skipped_rule", F.col("nope") > 0, ("nope",)),  # column absent → skipped
+        ],
+    )
+    got = audit(df)
+    assert got == {
+        "null_key": 1,
+        "duplicate_keys": 1,  # 4 non-null urls, 3 distinct
+        "null_text": 1,
+        "bad_url_format": 2,  # 'bad url' and the null-key row's null url
+    }
