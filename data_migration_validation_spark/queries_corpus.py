@@ -340,6 +340,73 @@ FROM documents
 """
 
 
+VOCAB_K = 100
+
+
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-K tokens by corpus frequency with
+    document frequency — the first pass of any tokenizer/BPE training or
+    corpus-statistics job. Plan shape: explode → two-phase hash
+    aggregate (map-side partial counts shrink the shuffle to one row per
+    (partition, token)) → TakeOrderedAndProject for the top-K (per-
+    partition heaps, never a global sort). Ties at the cutoff break on
+    the token string, so the result set is deterministic."""
+    from data_migration_validation_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(VOCAB_K)
+    )
+
+
+CORPUS_VOCAB_SQL = f"""
+SELECT t AS token,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({H.tokens_sql('lower(text)')}) AS t FROM documents)
+GROUP BY t
+ORDER BY n_occurrences DESC, token
+LIMIT {VOCAB_K}
+"""
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+SAMPLE_DEFAULT = 0.125
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sample (operators/sampling):
+    keep/drop is a pure function of doc_id — key-stable across runs,
+    retries, and partitionings — and the plan is scan + codegen'd
+    filter, no shuffle. The oracle derives the identical sample from the
+    same md5 bucket rule."""
+    from data_migration_validation_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, key="doc_id", strata_col="lang",
+        rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def _corpus_sample_sql() -> str:
+    from data_migration_validation_spark.operators.sampling import stratified_sample_sql
+
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + stratified_sample_sql("doc_id", "lang", SAMPLE_RATES, SAMPLE_DEFAULT)
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", H.str_fold(F.col("text")).alias("fingerprint"))
@@ -546,6 +613,8 @@ CORPUS_REGISTRY: dict[str, tuple] = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "corpus_vocab_topk": (corpus_vocab_topk, CORPUS_VOCAB_SQL),
+    "corpus_sample_stratified": (corpus_sample_stratified, _corpus_sample_sql()),
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
