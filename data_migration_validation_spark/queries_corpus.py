@@ -407,6 +407,60 @@ def _corpus_sample_sql() -> str:
     )
 
 
+CLEAN_MIN_QUALITY = 0.35
+CLEAN_RATES = {"en": 0.75, "de": 0.5}
+CLEAN_DEFAULT = 0.25
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep pipeline as ONE declarative plan:
+    quality-score filter → exact content dedup (canonical winner per
+    md5, two-phase hash aggregate — the shuffle carries the 16-byte
+    hash + slim attrs, never the text) → deterministic stratified
+    mixture sample. Composes the already-oracle-verified pieces
+    (functions/text.quality_score, operators/dedup two-phase shape,
+    operators/sampling) end-to-end, which is how the engine is meant to
+    be used on a raw 100-TB crawl: each stage prunes before the next
+    pays for what survives."""
+    from data_migration_validation_spark.operators.sampling import stratified_sample
+
+    c = corpus(spark, sf_dir)
+    scored = c.where(F.col("text").isNotNull()).select(
+        "doc_id", "text", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    filt = scored.where(F.col("quality") >= CLEAN_MIN_QUALITY)
+    hashed = filt.select(
+        "doc_id", "lang", "quality", F.md5(F.encode(F.col("text"), "UTF-8")).alias("_h")
+    )
+    winners = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    kept = hashed.join(winners, ["_h", "doc_id"]).drop("_h")
+    return stratified_sample(
+        kept, key="doc_id", strata_col="lang",
+        rates=CLEAN_RATES, default_rate=CLEAN_DEFAULT,
+    ).select("doc_id", "lang", "quality")
+
+
+def _corpus_clean_sql() -> str:
+    from data_migration_validation_spark.operators.sampling import stratified_sample_sql
+
+    return f"""{CORPUS_CTE},
+scored AS (
+  SELECT doc_id, text, lang, {_QUALITY} AS quality
+  FROM corpus WHERE text IS NOT NULL
+),
+filt AS (SELECT * FROM scored WHERE quality >= {CLEAN_MIN_QUALITY}),
+keep AS (
+  SELECT doc_id, lang, quality FROM (
+    SELECT doc_id, lang, quality,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM filt
+  ) WHERE doc_id = canon
+)
+SELECT doc_id, lang, quality FROM keep
+WHERE {stratified_sample_sql('doc_id', 'lang', CLEAN_RATES, CLEAN_DEFAULT)}
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", H.str_fold(F.col("text")).alias("fingerprint"))
@@ -615,6 +669,7 @@ CORPUS_REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "corpus_vocab_topk": (corpus_vocab_topk, CORPUS_VOCAB_SQL),
     "corpus_sample_stratified": (corpus_sample_stratified, _corpus_sample_sql()),
+    "corpus_clean_pipeline": (corpus_clean_pipeline, _corpus_clean_sql()),
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),

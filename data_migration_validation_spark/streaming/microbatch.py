@@ -34,6 +34,7 @@ def stream_apply(
     checkpoint_location: str,
     max_files_per_trigger: int = 1,
     rollup: ContinuousRollup | None = None,
+    audit=None,
 ) -> StreamingQuery:
     """Start a streaming query that applies binlog parquet files to the
     engine's lake table, one foreachBatch epoch per micro-batch.
@@ -42,7 +43,16 @@ def stream_apply(
     partial aggregates to a ContinuousRollup — both sinks share the
     idempotency key, so a replayed batch is a no-op in BOTH the lake and
     the metrics table (exactly-once ingest monitoring for free; no
-    separate watermarked aggregation query to operate)."""
+    separate watermarked aggregation query to operate).
+
+    ``audit`` enables write-audit-publish per micro-batch (see
+    ``operators/audit``). A rejected batch FAILS the streaming query
+    (raises) rather than returning: foreachBatch completing normally
+    would mark the batch committed in the streaming checkpoint and skip
+    it forever — silent data loss. Failing keeps the batch un-committed
+    on both sides (the stage was discarded, the table untouched), so a
+    restart replays the same batch_id after the operator fixes the feed
+    or relaxes the gate."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -50,7 +60,13 @@ def stream_apply(
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        engine.apply_epoch(batch_df, int(batch_id))
+        st = engine.apply_epoch(batch_df, int(batch_id), audit=audit)
+        if st.rejected:
+            raise RuntimeError(
+                f"micro-batch {batch_id} failed its write-audit-publish "
+                f"gate: {st.audit_violations} — table untouched, batch "
+                "will replay on restart"
+            )
         if rollup is not None:
             rollup.apply_epoch(batch_df, int(batch_id))
 

@@ -189,3 +189,53 @@ def test_standard_audit_counts(spark, tmp_path):
         "null_text": 1,
         "bad_url_format": 2,  # 'bad url' and the null-key row's null url
     }
+
+
+def test_stream_apply_audit_gate(spark, tmp_path):
+    """Streaming WAP: a micro-batch that fails the audit FAILS the query
+    (the batch must not be marked committed — silent skip is data loss),
+    leaves the table at the prior state, and a restart over a fixed feed
+    replays the same batch_id and publishes."""
+    import os
+
+    from data_migration_validation_spark.streaming.microbatch import stream_apply
+
+    log_dir = str(tmp_path / "slog")
+    os.makedirs(log_dir)
+
+    def _write(rows, name):
+        staging = str(tmp_path / f"stage-{name}-{len(rows)}-{abs(hash(str(rows))) % 10**6}")
+        _events(spark, rows).drop("batch_epoch").coalesce(1).write.parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.rename(os.path.join(staging, part), f"{log_dir}/{name}.parquet")
+
+    _write(GOOD, "batch-0")
+    _write(BAD_URL, "batch-1")
+    eng = _engine(spark, tmp_path, "stream")
+    schema = _events(spark, GOOD).drop("batch_epoch").schema
+    q = stream_apply(
+        spark, log_dir, eng, schema=schema,
+        checkpoint_location=str(tmp_path / "sckpt"),
+        max_files_per_trigger=1, audit=page_envelope_audit(),
+    )
+    with pytest.raises(Exception, match="write-audit-publish"):
+        q.awaitTermination(120)
+        raise q.exception() or AssertionError("query should have failed")
+    # batch 0 published; the bad batch left no trace
+    assert eng.lake.epochs_applied() == {0}
+    assert eng.read_final().count() == 2
+    assert eng.lake.staged_versions() == []
+
+    # fix the feed in place (replace the bad file's content) and restart:
+    # the same batch_id replays and passes
+    os.unlink(f"{log_dir}/batch-1.parquet")
+    fixed = [r for r in BAD_URL if r[1].startswith("https://")]
+    _write(fixed, "batch-1")
+    q2 = stream_apply(
+        spark, log_dir, eng, schema=schema,
+        checkpoint_location=str(tmp_path / "sckpt"),
+        max_files_per_trigger=1, audit=page_envelope_audit(),
+    )
+    q2.awaitTermination(120)
+    assert eng.lake.epochs_applied() == {0, 1}
+    assert eng.read_final().count() == 2
