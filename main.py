@@ -275,6 +275,79 @@ def cmd_quarantine(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_status(args: argparse.Namespace) -> int:
+    """Table + checkpoint health in one JSON — DRIVER-SIDE ONLY (manifest,
+    checkpoint parquet, file sizes): no SparkSession, no cluster job, so
+    it answers in milliseconds against a 100-TB table. The ops questions
+    it covers: where is the table (version/epochs/schema), how much
+    read-side merge debt has accumulated (delta depth), is retention
+    working (gc horizon, staged orphans), what got rejected (quarantine),
+    and what did ingest do (lineage/metrics totals)."""
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    lake = LakeTable(args.table)
+    snap = lake.current_snapshot()
+    out: dict = {"command": "status", "table": args.table}
+    if snap is None:
+        out["empty"] = True
+        print(json.dumps(out))
+        return 0
+
+    def _files(groups):
+        return [f for by_b in groups.values() for fs in by_b.values() for f in fs]
+
+    base_files = _files(snap.file_groups)
+    delta_files = _files(snap.delta_groups)
+    out["snapshot"] = {
+        "version": snap.version,
+        "published_versions": len(lake.versions()),
+        "epochs_applied": len(snap.epochs),
+        "max_epoch": max(snap.epochs) if snap.epochs else None,
+        "buckets_live": len(snap.all_buckets()),
+        "delta_depth": snap.delta_depth(),
+        "base_files": len(base_files),
+        "delta_files": len(delta_files),
+        "bytes": sum(os.path.getsize(f) for f in base_files + delta_files if os.path.exists(f)),
+        "gc_horizon": snap.gc_horizon,
+        "staged_versions": lake.staged_versions(),
+        "table": snap.table_props,
+    }
+
+    qdir = os.path.join(args.table, "_quarantine")
+    quarantined = 0
+    if os.path.isdir(qdir):
+        try:
+            import pyarrow.parquet as pq
+
+            for root, _dirs, files in os.walk(qdir):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        quarantined += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        except Exception:
+            quarantined = -1  # unreadable footers: unknown, not zero
+    out["quarantined_events"] = quarantined
+
+    if args.checkpoint:
+        from data_migration_validation_spark.plans.checkpoint import CheckpointStore
+
+        ck = CheckpointStore(args.checkpoint)
+        lin = ck.lineage()
+        m = ck.metrics()
+        out["checkpoint"] = {
+            "last_epoch": ck.last_epoch(),
+            "lineage_epochs": int(lin["epoch"].nunique()) if len(lin) else 0,
+            "events_applied": int(lin["applied_events"].sum()) if len(lin) else 0,
+            "partitions_tracked": int(lin["partition"].nunique()) if len(lin) else 0,
+        }
+        if len(m):
+            out["metrics_totals"] = {
+                name: round(float(v), 3)
+                for name, v in m.groupby("metric")["value"].sum().items()
+            }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_reconcile(args: argparse.Namespace) -> int:
     from data_migration_validation_spark.operators.reconcile import (
         cogroup_reconcile,
@@ -555,6 +628,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ch.add_argument("--out", default="", help="write the feed to this parquet path")
     ch.set_defaults(fn=cmd_changes)
+
+    st = sub.add_parser(
+        "status", help="table + checkpoint health (driver-side only, no Spark job)"
+    )
+    st.add_argument("--table", required=True)
+    st.add_argument("--checkpoint", default="")
+    st.set_defaults(fn=cmd_status)
 
     q = sub.add_parser("quarantine", help="dead-letter table summary (and optional CSV)")
     q.add_argument("--table", required=True)

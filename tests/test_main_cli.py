@@ -262,3 +262,38 @@ def test_apply_audit_cli(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 0
     assert json.loads(out[-1])["final_rows"] == 2
+
+
+def test_status_cli_is_sparkless(spark, tmp_path, capsys):
+    """status: one driver-side JSON covering snapshot, maintenance debt,
+    quarantine, and checkpoint totals — and it must NOT start a Spark
+    job (it is the command an operator runs against a 100-TB table)."""
+    log = str(tmp_path / "stlog")
+    table = str(tmp_path / "sttable")
+    ckpt = str(tmp_path / "stckpt")
+    assert _run(["generate", "--out", log, "--keys", "200", "--events-per-epoch", "300"]) == 0
+    assert _run(["apply", "--log", log, "--table", table, "--checkpoint", ckpt, "--buckets", "8"]) == 0
+    capsys.readouterr()
+
+    import main as cli_mod
+
+    def _boom(*a, **kw):  # status must never open a SparkSession
+        raise AssertionError("status started a SparkSession")
+
+    orig = cli_mod._spark
+    cli_mod._spark = _boom
+    try:
+        assert _run(["status", "--table", table, "--checkpoint", ckpt]) == 0
+    finally:
+        cli_mod._spark = orig
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    snap = out["snapshot"]
+    assert snap["epochs_applied"] >= 1
+    assert snap["base_files"] + snap["delta_files"] > 0
+    assert snap["bytes"] > 0
+    assert snap["staged_versions"] == []
+    assert snap["table"]["num_buckets"] == 8
+    assert out["quarantined_events"] == 0
+    ck = out["checkpoint"]
+    assert ck["events_applied"] > 0 and ck["lineage_epochs"] >= 1
+    assert out["metrics_totals"]["applied_events"] == ck["events_applied"]
