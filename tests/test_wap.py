@@ -239,3 +239,22 @@ def test_stream_apply_audit_gate(spark, tmp_path):
     q2.awaitTermination(120)
     assert eng.lake.epochs_applied() == {0, 1}
     assert eng.read_final().count() == 2
+
+
+def test_audit_costs_one_action(spark, tmp_path, monkeypatch):
+    """standard_audit must evaluate every check in ONE aggregation job —
+    the audit sits inside the per-epoch commit path, so per-check scans
+    would multiply ingest cost by the number of checks."""
+    df = _events(spark, GOOD).select("url", "warc_ts", "seq")
+    df_cls = type(df)
+    calls = {"n": 0}
+    real_collect = df_cls.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return real_collect(self)
+
+    monkeypatch.setattr(df_cls, "collect", counting_collect)
+    got = page_envelope_audit()(df)
+    assert calls["n"] == 1, f"audit ran {calls['n']} actions"
+    assert got["null_key"] == 0 and got["bad_url_format"] == 0
