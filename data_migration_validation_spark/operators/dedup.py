@@ -76,9 +76,20 @@ def minhash_lsh_pairs(
     bucket self-join. rows_per_band = num_perm // bands."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = df.select(
+    # TWO projections, deliberately: the shingle-hash array is aliased in
+    # its own select so the num_perm permutations reference ONE computed
+    # array. Inlining shingle_hashes directly into minhash_signature
+    # replicates the whole char-fold pipeline once per permutation —
+    # higher-order functions are interpreted (no codegen, no common-
+    # subexpression elimination), measured 7x slower at sf0.1. Spark's
+    # CollapseProject keeps the split because the alias is expensive and
+    # multiply-referenced.
+    hashed = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(shingle_hashes(tokens(F.col(text_col)), k=shingle_k), num_perm).alias("_sig"),
+        shingle_hashes(tokens(F.col(text_col)), k=shingle_k).alias("_hashes"),
+    )
+    sig = hashed.select(
+        "_id", minhash_signature(F.col("_hashes"), num_perm).alias("_sig")
     )
     band_rows = sig.select(
         "_id",
@@ -94,17 +105,33 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_key")
+    # ONE pass per bucket instead of a bucket self-join: the self-join
+    # evaluates the whole shingle→minhash pipeline once per side, and its
+    # max_bucket guard needs a window (a third shuffle). collect_list per
+    # bucket costs one shuffle, the size() filter IS the skew cap, and the
+    # a<b pairs expand in-array — safe because max_bucket bounds the
+    # per-group explosion (and LSH buckets are tiny by construction: a big
+    # bucket means near-identical docs, which the cap routes to the
+    # cheaper exact-dedup path).
+    buckets = band_rows.groupBy("band_id", "band_key").agg(
+        F.collect_list("_id").alias("_ids")
+    )
     if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_key")
-        band_rows = band_rows.withColumn("_n", F.count("*").over(w)).where(
-            F.col("_n") <= max_bucket
-        ).drop("_n")
-    a = band_rows.select(F.col("band_id"), F.col("band_key"), F.col("_id").alias("a"))
-    b = band_rows.select(F.col("band_id"), F.col("band_key"), F.col("_id").alias("b"))
+        buckets = buckets.where(F.size("_ids") <= max_bucket)
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x: F.transform(
+                F.filter(ids, lambda y: y > x),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band_id", "band_key"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.where(F.size("_ids") >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .distinct()
     )
 
