@@ -362,14 +362,28 @@ def embedding_neardup_pairs(
     """(a, b, cos) pairs with cosine ≥ threshold, blocked (e.g. on label)
     to keep the quadratic term bounded; the scale path is LSH bucketing
     (operators/similarity.py)."""
+    # per-ROW norm, hoisted: the pair expression then costs one dot
+    # product instead of three aggregates. Same operations in the same
+    # order as cosine_sim (dot / (sqrt(ssq_a) * sqrt(ssq_b))), so the
+    # rounded values — and the oracle hash — are bit-identical.
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(dv, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
+        dv.alias("_v"),
+        norm.alias("_n"),
         *( [F.col(block_col).alias("_blk")] if block_col else [F.lit(0).alias("_blk")] ),
     )
-    a = base.select("_blk", F.col("_id").alias("a"), F.col("_v").alias("va"))
-    b = base.select("_blk", F.col("_id").alias("b"), F.col("_v").alias("vb"))
-    cos = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+    a = base.select("_blk", F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
+    b = base.select("_blk", F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, "_blk")
         .where(F.col("a") < F.col("b"))
