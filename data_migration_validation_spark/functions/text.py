@@ -56,6 +56,27 @@ def extract_text(html: pd.Series) -> pd.Series:
     return _extract_series(html)
 
 
+def extract_text_expr(html: Column) -> Column:
+    """JVM-expression twin of :func:`extract_text`: the same two-regex
+    extraction as pure Column expressions (``regexp_extract_all`` +
+    ``array_join`` / tag-strip fallback) — whole-stage codegen, no Python
+    worker pool, no Arrow transfer. Byte-identical to the Arrow UDF on
+    valid UTF-8 (parity-tested); they diverge only on INVALID UTF-8,
+    where the UDF raises (strict decode — determinism over leniency) and
+    the JVM decode substitutes replacement chars. The engine default
+    stays the Arrow UDF (the north-star operator, and the honest cost
+    model for real extraction libraries that only exist in Python);
+    this is the measured upper bound of staying JVM-side
+    (``CDCApplyEngine(text_extract="expr")``)."""
+    s = F.decode(html, "UTF-8")
+    paras = F.regexp_extract_all(s, F.lit(r"(?s)<p>(.*?)</p>"), 1)
+    return F.when(html.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(F.size(paras) > 0, F.array_join(paras, "\n")).otherwise(
+            F.regexp_replace(s, r"<[^>]*>", "")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (pure Column expressions; SQL-oracle-friendly)
 # ---------------------------------------------------------------------------

@@ -96,6 +96,7 @@ class CDCApplyEngine:
         compact_every: int | None = 8,
         enrich_text: bool = False,
         quarantine: bool = True,
+        text_extract: str = "arrow",
     ):
         """``in_batch_prededup``: add a key-hash pre-shuffle that dedups the
         batch BEFORE text extraction and the merge. Worth it for backfill /
@@ -132,6 +133,8 @@ class CDCApplyEngine:
         trusted for a row that fails it, so one reason per row suffices."""
         if merge_mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
+        if text_extract not in ("arrow", "expr"):
+            raise ValueError(f"unknown text_extract {text_extract!r}")
         self.spark = spark
         # key_col/num_buckets are TABLE properties: None adopts an existing
         # table's recorded values (or url/32 for a new table); a conflicting
@@ -146,6 +149,12 @@ class CDCApplyEngine:
         self.compact_every = compact_every
         self.enrich_text = enrich_text
         self.quarantine = quarantine
+        # "arrow" = the north-star vectorized Arrow UDF (default; honest
+        # cost model for Python-only extraction libs); "expr" = the
+        # byte-identical-on-valid-UTF-8 JVM expression twin
+        # (functions/text.extract_text_expr) — whole-stage codegen, no
+        # Python worker pool in the apply hot path.
+        self.text_extract = text_extract
         self.quarantine_dir = os.path.join(table_path, "_quarantine")
         self.registry = SchemaRegistry()
         snap = self.lake.current_snapshot()
@@ -294,7 +303,7 @@ class CDCApplyEngine:
                 src, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
             )
             if has_html:
-                winners = winners.withColumn("text", extract_text(F.col("html")))
+                winners = winners.withColumn("text", self._extract(F.col("html")))
                 winners = self._enrich(winners)
             target = self.registry.merge(winners.drop(BUCKET_COL).schema)
             merged = conform(winners, target).withColumn(
@@ -331,7 +340,7 @@ class CDCApplyEngine:
             # fuses into the scan stage. Extracting post-merge instead
             # would pull state rows through Python again.
             if has_html:
-                pre = pre.withColumn("text", extract_text(F.col("html")))
+                pre = pre.withColumn("text", self._extract(F.col("html")))
                 pre = self._enrich(pre)
 
             # schema merge (registry == durable snapshot schema)
@@ -483,6 +492,13 @@ class CDCApplyEngine:
             seconds=time.monotonic() - t0,
             quarantined=int(n_quarantined),
         )
+
+    def _extract(self, html_col):
+        if self.text_extract == "expr":
+            from data_migration_validation_spark.functions.text import extract_text_expr
+
+            return extract_text_expr(html_col)
+        return extract_text(html_col)
 
     def _enrich(self, df: DataFrame) -> DataFrame:
         """Ingest-time text analysis (enrich_text option): language id,

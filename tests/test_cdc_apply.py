@@ -207,3 +207,31 @@ def test_lineage_accounting(replayed):
     # mode-tagged write metric (mor: delta winners per epoch)
     assert (m[m.metric == "rows_written_mor"].value > 0).all()
     assert len(m[m.metric == "rows_written_mor"]) == CFG.n_epochs
+
+
+def test_expr_extraction_byte_identical_and_jvm_only(spark, binlog, tmp_path):
+    """extract_text_expr must produce byte-identical text to the Arrow
+    UDF on the whole synthetic corpus, and a text_extract="expr" engine
+    must reach the same final state with NO Python evaluation anywhere
+    in its merge plan."""
+    from data_migration_validation_spark.functions.text import extract_text_expr
+
+    pages = binlog.where(F.col("payload.html").isNotNull()).select(
+        F.col("payload.html").alias("html")
+    )
+    both = pages.select(
+        extract_text(F.col("html")).alias("udf"),
+        extract_text_expr(F.col("html")).alias("expr"),
+    )
+    assert both.where(~F.col("udf").eqNullSafe(F.col("expr"))).count() == 0
+
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "t-expr"),
+        checkpoint_path=str(tmp_path / "c-expr"),
+        num_buckets=8,
+        text_extract="expr",
+    )
+    for epoch in range(CFG.n_epochs):
+        eng.apply_epoch(epoch_slice(binlog, CFG, epoch), epoch)
+    _assert_final_matches(spark, eng, binlog)
