@@ -34,6 +34,8 @@ def standard_audit(
     key_col: str = "url",
     not_null: Sequence[str] = (),
     rules: Sequence[tuple[str, Column] | tuple[str, Column, Sequence[str]]] = (),
+    max_delete_fraction: float | None = None,
+    min_rows_for_fraction: int = 100,
 ) -> AuditFn:
     """Build an audit function for :meth:`CDCApplyEngine.apply_epoch`.
 
@@ -48,6 +50,14 @@ def standard_audit(
     named/required columns the staged commit doesn't carry are skipped
     (schema evolution mid-stream must not fail the audit machinery
     itself).
+
+    ``max_delete_fraction`` adds a **delete-storm guard**: if the staged
+    commit is more than this fraction tombstones (and has at least
+    ``min_rows_for_fraction`` rows — tiny epochs are legitimately
+    delete-heavy), the ``delete_storm`` check reports 1. This is the gate
+    that catches an upstream table truncation / bad filter turning into a
+    CDC flood of deletes — the one mistake a LWW engine happily and
+    irreversibly applies. Folds into the same single aggregation.
 
     Returns ``{check_name: violation_count}`` — all zeros ⇒ publish.
     Tombstone rows (``deleted=true``) are exempt from ``not_null`` and
@@ -82,17 +92,32 @@ def standard_audit(
             aggs.append(
                 F.sum((live & ~pred.eqNullSafe(F.lit(True))).cast("long")).alias(name)
             )
+        if max_delete_fraction is not None and "deleted" in staged.columns:
+            aggs.append(F.sum((~live).cast("long")).alias("_n_deleted"))
+            aggs.append(F.count("*").alias("_n_rows"))
         row = staged.agg(*aggs).collect()[0]  # exactly one Spark job
-        return {k: int(v or 0) for k, v in row.asDict().items()}
+        out = {
+            k: int(v or 0)
+            for k, v in row.asDict().items()
+            if not k.startswith("_")
+        }
+        if max_delete_fraction is not None and "deleted" in staged.columns:
+            n, d = int(row["_n_rows"] or 0), int(row["_n_deleted"] or 0)
+            out["delete_storm"] = int(
+                n >= min_rows_for_fraction and d > max_delete_fraction * n
+            )
+        return out
 
     return _audit
 
 
-def page_envelope_audit() -> AuditFn:
+def page_envelope_audit(max_delete_fraction: float | None = None) -> AuditFn:
     """The engine's default ingest gate for the web-page envelope
     (BASELINE.json input_hint: url/warc_ts/html/text/lang): well-formed
     urls, order columns present, and non-null extracted text wherever the
-    event carried html."""
+    event carried html. ``max_delete_fraction`` optionally arms the
+    delete-storm guard (off by default: a small table legitimately sees
+    delete-heavy epochs; arm it once normal traffic shape is known)."""
     html_implies_text = F.col("html").isNull() | F.col("text").isNotNull()
     return standard_audit(
         key_col="url",
@@ -101,4 +126,5 @@ def page_envelope_audit() -> AuditFn:
             ("bad_url_format", F.col("url").rlike(URL_RE)),
             ("html_without_text", html_implies_text, ("html", "text")),
         ],
+        max_delete_fraction=max_delete_fraction,
     )

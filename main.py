@@ -93,7 +93,11 @@ def cmd_apply(args: argparse.Namespace) -> int:
     if args.audit:
         from data_migration_validation_spark.operators.audit import page_envelope_audit
 
-        audit = page_envelope_audit()
+        audit = page_envelope_audit(
+            max_delete_fraction=(
+                args.max_delete_fraction if args.max_delete_fraction >= 0 else None
+            )
+        )
     for epoch in range(int(lo), int(hi) + 1):
         if epoch < start:
             continue
@@ -545,6 +549,14 @@ def build_parser() -> argparse.ArgumentParser:
         "page-envelope audit (url format, order columns, html⇒text) over "
         "the staged files, publish only on zero violations; a rejected "
         "epoch leaves the table untouched and stops the replay (exit 2)",
+    )
+    a.add_argument(
+        "--max-delete-fraction",
+        type=float,
+        default=-1.0,
+        dest="max_delete_fraction",
+        help="with --audit: reject an epoch that is more than this "
+        "fraction tombstones (delete-storm guard; -1 = off)",
     )
     a.add_argument("--pandas-lww", action="store_true")
     a.add_argument(

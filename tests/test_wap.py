@@ -40,12 +40,13 @@ def _events(spark, rows, epoch=0):
     return spark.createDataFrame(data, EV_SCHEMA)
 
 
-def _engine(spark, tmp_path, name="t"):
+def _engine(spark, tmp_path, name="t", **kw):
     return CDCApplyEngine(
         spark,
         table_path=str(tmp_path / name),
         checkpoint_path=str(tmp_path / f"{name}-ckpt"),
         num_buckets=4,
+        **kw,
     )
 
 
@@ -138,7 +139,10 @@ def test_wap_replay_matches_unaudited_final_state(spark, tmp_path):
     state must equal the closed-form LWW oracle."""
     cfg = BinlogConfig(n_keys=120, max_versions=3, events_per_epoch=120, seed=11)
     log = synth_binlog(spark, cfg)
-    eng = _engine(spark, tmp_path, "replay")
+    # compact_every=2: compaction maintenance commits interleave with the
+    # audited epoch publishes mid-replay — the two must compose (a
+    # compaction parents off the published head, never off a stage)
+    eng = _engine(spark, tmp_path, "replay", compact_every=2)
     stats = eng.replay(
         {e: epoch_slice(log, cfg, e) for e in range(cfg.n_epochs)},
         audit=page_envelope_audit(),
@@ -258,3 +262,34 @@ def test_audit_costs_one_action(spark, tmp_path, monkeypatch):
     got = page_envelope_audit()(df)
     assert calls["n"] == 1, f"audit ran {calls['n']} actions"
     assert got["null_key"] == 0 and got["bad_url_format"] == 0
+
+
+def test_delete_storm_guard(spark, tmp_path):
+    """An epoch that is mostly tombstones — the upstream-truncation
+    signature — is rejected when the guard is armed; the same epoch
+    passes with the guard off (deletes are otherwise legitimate)."""
+    eng = _engine(spark, tmp_path)
+    base = [
+        ("I", f"https://a.example.com/{i}", "2024-01-01 00:00:00", i, b"<html><p>x</p></html>", "en")
+        for i in range(120)
+    ]
+    eng.apply_epoch(_events(spark, base), 0, audit=page_envelope_audit(0.5))
+
+    storm = [
+        ("D", f"https://a.example.com/{i}", "2024-01-02 00:00:00", 1000 + i, None, None)
+        for i in range(110)
+    ]
+    st = eng.apply_epoch(_events(spark, storm, epoch=1), 1, audit=page_envelope_audit(0.5))
+    assert st.rejected and st.audit_violations == {"delete_storm": 1}
+    assert eng.read_final().count() == 120  # storm blocked
+
+    # small delete epochs stay legitimate (min_rows floor)
+    few = storm[:5]
+    st2 = eng.apply_epoch(_events(spark, few, epoch=1), 1, audit=page_envelope_audit(0.5))
+    assert not st2.rejected
+    assert eng.read_final().count() == 115
+
+    # guard off: a genuine full purge is appliable deliberately
+    st3 = eng.apply_epoch(_events(spark, storm[5:], epoch=2), 2, audit=page_envelope_audit())
+    assert not st3.rejected
+    assert eng.read_final().count() == 10
