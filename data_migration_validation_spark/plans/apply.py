@@ -52,7 +52,12 @@ from data_migration_validation_spark.operators.lww import (
     lww_window_bucketed,
 )
 from data_migration_validation_spark.plans.checkpoint import CheckpointStore
-from data_migration_validation_spark.plans.lake import BUCKET_COL, LakeTable, bucket_expr
+from data_migration_validation_spark.plans.lake import (
+    BUCKET_COL,
+    CommitConflictError,
+    LakeTable,
+    bucket_expr,
+)
 from data_migration_validation_spark.schema import SchemaRegistry, conform
 
 ENVELOPE_COLS = ("op", "url", "warc_ts", "seq", "payload", "batch_epoch")
@@ -271,6 +276,23 @@ class CDCApplyEngine:
         if horizon is not None:
             events = events.where(in_horizon)
 
+        def _commit(**kw):
+            # concurrent-writer safety: a commit conflict whose epoch was
+            # published by ANOTHER writer is this engine's idempotent
+            # skip (two replayers of the same log converge); a conflict
+            # from an interleaved maintenance commit (compaction racing
+            # ingest) retries — lake.commit re-reads the head, so the
+            # retry parents off the maintenance commit's manifest and the
+            # deterministic merge plan re-executes safely.
+            for attempt in range(3):
+                try:
+                    return self.lake.commit(**kw)
+                except CommitConflictError:
+                    if epoch in self.lake.epochs_applied():
+                        return False, 0
+                    if attempt == 2:
+                        raise
+
         # 3. flatten payload; tombstones keep null payload columns
         flat = events.select(
             key,
@@ -309,8 +331,8 @@ class CDCApplyEngine:
             merged = conform(winners, target).withColumn(
                 BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
             )
-            committed, rows_written = self.lake.commit(
-                merged,
+            committed, rows_written = _commit(
+                new_bucket_data=merged,
                 touched_buckets=touched,
                 epoch=epoch,
                 schema=target,
@@ -361,8 +383,8 @@ class CDCApplyEngine:
             merged = lww_window_bucketed(
                 merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
             )
-            committed, rows_written = self.lake.commit(
-                merged,
+            committed, rows_written = _commit(
+                new_bucket_data=merged,
                 touched_buckets=touched,
                 epoch=epoch,
                 schema=target,

@@ -53,6 +53,17 @@ from pyspark.sql.types import StructType
 
 BUCKET_COL = "_bucket"
 
+# how long a crashed writer's pointer-flip lock survives before another
+# writer may break it (the critical section is two tiny file writes)
+LOCK_TTL_SECONDS = 60.0
+
+
+class CommitConflictError(RuntimeError):
+    """The table's published head moved between reading it and publishing
+    against it — another writer committed first. The losing commit's
+    files are cleaned up; callers re-read state and retry (maintenance
+    ops do this automatically)."""
+
 
 def bucket_expr(key: Column, num_buckets: int) -> Column:
     """Engine-wide bucketing function: pmod(xxhash64(key), B). Matches the
@@ -80,6 +91,30 @@ def _atomic_write(path: str, content: str) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, path)  # atomic on POSIX
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _exclusive_write(path: str, content: str) -> bool:
+    """Atomically create ``path`` with ``content`` iff it does not exist
+    (``os.link`` fails on an existing target — the POSIX test-and-set).
+    Returns False if another writer claimed the path first. Used for
+    manifest files: two concurrent commits may compute the same next
+    version number, and a rename there would silently clobber the other
+    writer's manifest before the pointer CAS could even see the race."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -698,12 +733,78 @@ class LakeTable:
             "gc_horizon": horizon,
             "file_stats": file_stats,
         }
-        _atomic_write(os.path.join(self.meta_dir, f"v{version}.json"), json.dumps(manifest))
+        # claim a version number exclusively: if a concurrent writer took
+        # this one, bump and re-claim (the manifest content only embeds
+        # the number; staleness vs the new head is caught by the flip CAS)
+        while not _exclusive_write(
+            os.path.join(self.meta_dir, f"v{version}.json"), json.dumps(manifest)
+        ):
+            version = self._next_version()
+            manifest["version"] = version
         if publish:
-            _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
+            try:
+                self._flip(version, prev.version if prev else None)
+            except CommitConflictError:
+                # lost the race: another writer published first. This
+                # commit's manifest carried forward from a stale head, so
+                # publishing it would drop the winner's files — discard
+                # our files instead and let the caller re-read and retry.
+                self.reject_staged(version)
+                raise
         else:
             self.last_staged_version = version
         return True, rows_written
+
+    # -- pointer flip under optimistic concurrency ------------------------------
+
+    def _flip(self, version: int, expected_parent: int | None) -> None:
+        """Publish ``version`` by flipping CURRENT — iff the head is still
+        ``expected_parent`` (compare-and-swap). The check and the flip run
+        under a lockfile (O_CREAT|O_EXCL — atomic on POSIX; Iceberg does
+        the same CAS against its catalog): without it, two writers that
+        both parented off head H would each flip, and the second flip
+        silently drops the first commit's files from the carried-forward
+        manifest — a lost update. Raises :class:`CommitConflictError` on a
+        moved head. A lock older than ``LOCK_TTL_SECONDS`` is broken (a
+        crashed writer's critical section is two tiny file writes — if the
+        lock is a minute old, its owner is gone)."""
+        import time as _time
+
+        lock = os.path.join(self.meta_dir, "COMMIT.lock")
+        deadline = _time.monotonic() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {_time.time()}".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = _time.time() - os.stat(lock).st_mtime
+                except FileNotFoundError:
+                    continue  # released between the open and the stat
+                if age > LOCK_TTL_SECONDS:
+                    try:
+                        os.unlink(lock)  # break a crashed writer's lock
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock {lock} held for {age:.0f}s")
+                _time.sleep(0.02)
+        try:
+            cur = self.current_version()
+            if cur != expected_parent:
+                raise CommitConflictError(
+                    f"cannot publish v{version}: built on parent "
+                    f"{expected_parent} but the table head is now {cur}"
+                )
+            _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     # -- write-audit-publish ----------------------------------------------------
 
@@ -733,21 +834,15 @@ class LakeTable:
     def publish(self, version: int) -> None:
         """Publish a staged commit: flip CURRENT to ``version``, iff the
         table's published head is still the parent the stage was built on
-        (optimistic concurrency — the Iceberg commit-conflict rule). A
-        stale stage must be rejected and re-staged against the new head;
+        (optimistic concurrency — the Iceberg commit-conflict rule,
+        enforced under the same lock as every other flip). A stale stage
+        must be rejected and re-staged against the new head;
         fast-forwarding it would silently drop the interleaved commit's
         files from the merged manifest."""
         m = self._manifest_raw(version)
-        cur = self.current_version()
-        if cur == version:
+        if self.current_version() == version:
             return  # already published (publish-retry after crash)
-        if m.get("parent") != cur:
-            raise RuntimeError(
-                f"cannot publish staged v{version}: built on parent "
-                f"{m.get('parent')} but the table head is now {cur} — "
-                "reject and re-stage against the current head"
-            )
-        _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
+        self._flip(version, m.get("parent"))
 
     def reject_staged(self, version: int) -> None:
         """Discard a staged commit: delete the files it added and its
@@ -799,7 +894,29 @@ class LakeTable:
         bucket (tombstones live in base files too), so schedule it like
         any full-table maintenance op, not per epoch. State grows with
         live keys only once GC runs periodically — without it, every
-        deleted key leaves a tombstone forever."""
+        deleted key leaves a tombstone forever.
+
+        Concurrency: compaction races with ingest by design (on a real
+        cluster maintenance runs alongside the apply job). A commit
+        conflict means an epoch published between our read and our flip —
+        the compacted files would drop that epoch's deltas, so the commit
+        is discarded and the whole pass retries against the new head
+        (up to 3 attempts, then the conflict propagates)."""
+        last_err: CommitConflictError | None = None
+        for _attempt in range(3):
+            try:
+                return self._compact_once(spark, buckets, gc_horizon_ts, max_records_per_file)
+            except CommitConflictError as e:
+                last_err = e
+        raise last_err
+
+    def _compact_once(
+        self,
+        spark: SparkSession,
+        buckets: set[int] | None = None,
+        gc_horizon_ts: str | None = None,
+        max_records_per_file: int | None = None,
+    ) -> int:
         snap = self.current_snapshot()
         if snap is None:
             return 0
