@@ -1007,6 +1007,62 @@ class LakeTable:
                 removed += 1
         return {"expired_versions": len(expired), "removed_files": removed}
 
+    # -- orphan-file vacuum -------------------------------------------------------
+
+    def vacuum(self, min_age_seconds: float = 3600.0) -> dict:
+        """Delete data files referenced by NO manifest (published, staged,
+        or orphaned): leftovers from commits that crashed after writing
+        data but before writing their manifest. `expire_snapshots` and
+        `reject_staged`/`cleanup_staged` handle files that a manifest
+        still names; this sweeps the files nothing names — under
+        continuous ingest with occasional crashes they otherwise
+        accumulate forever (Iceberg's `remove_orphan_files`).
+
+        ``min_age_seconds`` is the correctness guard: a commit writes its
+        files BEFORE its manifest, so a younger-than-threshold
+        unreferenced file may belong to an in-flight commit — it is kept.
+        Driver-side only; no Spark job."""
+        import time as _time
+
+        referenced: set[str] = set()
+        for v in self._all_manifest_versions():
+            m = self._manifest_raw(v)
+            for groups in (m.get("file_groups", {}), m.get("delta_groups", {})):
+                for by_bucket in groups.values():
+                    for fs in by_bucket.values():
+                        referenced.update(fs)
+        # Spark writes bookkeeping next to the data (.crc checksums,
+        # _SUCCESS markers) that manifests never name: in a LIVE commit
+        # dir they must survive (deleting a live file's .crc defeats
+        # checksum verification), in a dead dir they go with it.
+        ref_dirs = {os.path.dirname(f) for f in referenced}
+        removed = 0
+        now = _time.time()
+        for root, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                p = os.path.join(root, fn)
+                if p in referenced:
+                    continue
+                is_data = fn.endswith(".parquet") and not fn.startswith(".")
+                if not is_data and root in ref_dirs:
+                    continue  # live dir bookkeeping
+                try:
+                    if now - os.stat(p).st_mtime < min_age_seconds:
+                        continue
+                    os.unlink(p)
+                    if is_data:
+                        removed += 1  # bookkeeping isn't counted as data
+                except FileNotFoundError:
+                    pass  # another maintenance op got it first
+        # prune directories the sweep emptied (bottom-up)
+        for root, dirs, files in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir and not dirs and not files:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+        return {"removed_files": removed}
+
     # -- bucket-count evolution -------------------------------------------------
 
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:

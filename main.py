@@ -178,6 +178,14 @@ def cmd_expire(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_vacuum(args: argparse.Namespace) -> int:
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    out = LakeTable(args.table).vacuum(min_age_seconds=args.min_age_seconds)
+    print(json.dumps({"command": "vacuum", **out}))
+    return 0
+
+
 def cmd_lookup(args: argparse.Namespace) -> int:
     """Point lookup: one key's live row via manifest file skipping —
     bucket + per-file key bounds, a handful of files read, no scan."""
@@ -640,6 +648,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ch.add_argument("--out", default="", help="write the feed to this parquet path")
     ch.set_defaults(fn=cmd_changes)
+
+    vac = sub.add_parser(
+        "vacuum", help="delete orphan data files no manifest references (driver-side)"
+    )
+    vac.add_argument("--table", required=True)
+    vac.add_argument(
+        "--min-age-seconds",
+        type=float,
+        default=3600.0,
+        dest="min_age_seconds",
+        help="keep unreferenced files younger than this (in-flight commit guard)",
+    )
+    vac.set_defaults(fn=cmd_vacuum)
 
     st = sub.add_parser(
         "status", help="table + checkpoint health (driver-side only, no Spark job)"

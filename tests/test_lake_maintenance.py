@@ -204,3 +204,55 @@ def test_rebucket_preserves_state_and_accepts_new_epochs(spark, tmp_path):
     assert cogroup_reconcile(
         fresh.read_final(), engine2.read_final(), key="url"
     ).count() == 0
+
+
+def test_vacuum_removes_only_old_orphans(spark, tmp_path):
+    """vacuum: an unreferenced data file older than the age guard is
+    removed, a young one is kept (in-flight commit), referenced files
+    are untouched, and the table reads identically afterwards."""
+    import os
+    import time
+
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+    from data_migration_validation_spark.sources.binlog import (
+        BinlogConfig,
+        epoch_slice,
+        synth_binlog,
+    )
+
+    cfg = BinlogConfig(n_keys=80, max_versions=2, events_per_epoch=100, seed=3)
+    log = synth_binlog(spark, cfg)
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "vt"),
+        checkpoint_path=str(tmp_path / "vc"),
+        num_buckets=4,
+    )
+    for e in range(cfg.n_epochs):
+        eng.apply_epoch(epoch_slice(log, cfg, e), e)
+    lake = eng.lake
+    before = sorted(r["url"] for r in eng.read_final().select("url").collect())
+
+    # crash leftovers: a commit dir with data but no manifest
+    orphan_dir = os.path.join(lake.data_dir, "commit-99-deadbeef", "_bucket=0")
+    os.makedirs(orphan_dir)
+    old = os.path.join(orphan_dir, "part-old.parquet")
+    young = os.path.join(orphan_dir, "part-young.parquet")
+    for p in (old, young):
+        with open(p, "wb") as f:
+            f.write(b"not really parquet")
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+
+    out = lake.vacuum(min_age_seconds=3600)
+    assert out["removed_files"] == 1
+    assert not os.path.exists(old)
+    assert os.path.exists(young)  # in-flight guard
+
+    # second pass with no guard sweeps the young orphan and prunes the dir
+    out = lake.vacuum(min_age_seconds=0)
+    assert out["removed_files"] == 1
+    assert not os.path.exists(os.path.dirname(young))
+
+    after = sorted(r["url"] for r in eng.read_final().select("url").collect())
+    assert after == before
