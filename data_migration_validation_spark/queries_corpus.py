@@ -379,6 +379,53 @@ LIMIT {VOCAB_K}
 """
 
 
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency top-K (n-gram LM / tokenizer-merge statistics):
+    same plan shape as the unigram vocab — in-array bigram construction
+    (slice+join, no self-join), explode, two-phase hash aggregate,
+    TakeOrderedAndProject. Docs with fewer than 2 tokens contribute
+    nothing."""
+    from data_migration_validation_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
+        .limit(VOCAB_K)
+    )
+
+
+CORPUS_BIGRAM_SQL = f"""
+WITH tok AS (SELECT doc_id, {H.tokens_sql('lower(text)')} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+         THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+         ELSE CAST([] AS VARCHAR[]) END
+  ) AS bigram
+  FROM tok
+)
+SELECT bigram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM bg GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT {VOCAB_K}
+"""
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.25}
 SAMPLE_DEFAULT = 0.125
 
@@ -668,6 +715,7 @@ CORPUS_REGISTRY: dict[str, tuple] = {
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "corpus_vocab_topk": (corpus_vocab_topk, CORPUS_VOCAB_SQL),
+    "corpus_bigram_topk": (corpus_bigram_topk, CORPUS_BIGRAM_SQL),
     "corpus_sample_stratified": (corpus_sample_stratified, _corpus_sample_sql()),
     "corpus_clean_pipeline": (corpus_clean_pipeline, _corpus_clean_sql()),
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),

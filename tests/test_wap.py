@@ -293,3 +293,40 @@ def test_delete_storm_guard(spark, tmp_path):
     st3 = eng.apply_epoch(_events(spark, storm[5:], epoch=2), 2, audit=page_envelope_audit())
     assert not st3.rejected
     assert eng.read_final().count() == 10
+
+
+def test_wap_through_schema_evolution(spark, tmp_path):
+    """The audit gate must compose with mid-stream schema evolution: the
+    early epochs' staged commits lack later columns (the audit's
+    column-guards skip those checks rather than failing analysis), every
+    epoch publishes, and the final state matches the oracle."""
+    cfg = BinlogConfig(
+        n_keys=100, max_versions=3, events_per_epoch=90, seed=11,
+        evo2_epoch=1, evo3_epoch=2, dup_pct=0,
+    )
+    log = synth_binlog(spark, cfg)
+    eng = _engine(spark, tmp_path, "evo")
+    stats = eng.replay(
+        {e: epoch_slice(log, cfg, e) for e in range(cfg.n_epochs)},
+        audit=page_envelope_audit(),
+    )
+    assert all(not s.rejected for s in stats)
+    assert eng.lake.epochs_applied() == set(range(cfg.n_epochs))
+    final = eng.read_final().select("url", "warc_ts", "seq", "fetch_status")
+    # winner per key over the full log; fetch_status is null when the
+    # winner was delivered BEFORE the column existed (evolution contract)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("seq").desc())
+    expected = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "url", "warc_ts", "seq",
+            F.when(
+                F.col("batch_epoch") >= cfg.evo2_epoch, F.col("payload.fetch_status")
+            ).alias("fetch_status"),
+        )
+    )
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
