@@ -98,18 +98,13 @@ def doc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay doc_changes through the apply engine into a temp lake table;
-    return the final live rows (url, warc_ts, seq, lang, text).
-
-    The returned DataFrame reads from a session-scoped parquet snapshot
-    (cleaned at interpreter exit) — the result never flows through the
-    driver (a ``toPandas()`` here would collect the whole table, which at
-    scale is a driver OOM, not a query result)."""
+def _cdc_replay_final(
+    spark: SparkSession, sf_dir: str, audit=None, prefix: str = "dmv-cdc-"
+) -> DataFrame:
     from data_migration_validation_spark.plans.apply import CDCApplyEngine
 
     changes = doc_changes(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="dmv-cdc-")
+    tmp = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     # epoch-partitioned log: the per-epoch replay filter prunes to one
     # directory instead of re-scanning the whole log's row groups each
@@ -129,7 +124,10 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_every=2,
     )
     for epoch in range(int(n_epochs)):
-        engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
+        st = engine.apply_epoch(
+            log.where(F.col("batch_epoch") == epoch), epoch, audit=audit
+        )
+        assert not st.rejected, f"epoch {epoch} rejected: {st.audit_violations}"
     final = engine.read_final().select("url", "warc_ts", "seq", "lang", "text")
     final.write.mode("overwrite").parquet(f"{tmp}/final")
     out = spark.read.parquet(f"{tmp}/final")
@@ -139,6 +137,32 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(f"{tmp}/table", ignore_errors=True)
     shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
     return out
+
+
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay doc_changes through the apply engine into a temp lake table;
+    return the final live rows (url, warc_ts, seq, lang, text).
+
+    The returned DataFrame reads from a session-scoped parquet snapshot
+    (cleaned at interpreter exit) — the result never flows through the
+    driver (a ``toPandas()`` here would collect the whole table, which at
+    scale is a driver OOM, not a query result)."""
+    return _cdc_replay_final(spark, sf_dir)
+
+
+def cdc_final_state_audited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME replay with the write-audit-publish gate on every epoch:
+    each commit is staged, audited (url format, order columns, html⇒text
+    — operators/audit.page_envelope_audit), and published only on zero
+    violations. Shares cdc_final_state's oracle — the gate must change
+    NOTHING on clean traffic (and the replay asserts no epoch was
+    rejected), which is exactly the property that makes it deployable as
+    an always-on ingestion guard."""
+    from data_migration_validation_spark.operators.audit import page_envelope_audit
+
+    return _cdc_replay_final(
+        spark, sf_dir, audit=page_envelope_audit(), prefix="dmv-cdcaud-"
+    )
 
 
 ASOF_EPOCH = 1  # mid-replay epoch the time-travel query reads back to
@@ -1214,6 +1238,7 @@ from data_migration_validation_spark.queries_corpus import CORPUS_REGISTRY  # no
 REGISTRY: dict[str, tuple] = {
     **CORPUS_REGISTRY,
     "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
+    "cdc_final_state_audited": (cdc_final_state_audited, cdc_final_state_oracle()),
     "cdc_state_asof": (cdc_state_asof, cdc_state_asof_oracle()),
     "cdc_changes": (cdc_changes, cdc_changes_oracle()),
     "cdc_envelope_parse": (cdc_envelope_parse, cdc_envelope_parse_oracle()),
