@@ -258,19 +258,40 @@ class CDCApplyEngine:
 
         if n_quarantined:
             # dead-letter write — only runs for epochs that actually have
-            # violations; epoch-keyed dir + overwrite = idempotent replay
+            # violations. Stage-then-rename instead of mode("overwrite")
+            # on the final dir: a crash mid-overwrite would leave a
+            # half-deleted epoch dir, and two replayers racing the same
+            # epoch could interleave each other's deletes and writes. The
+            # rename is atomic; a loser (dir already renamed in — the
+            # content is deterministic, so identical) discards its stage.
+            import shutil as _shutil
+            import uuid as _uuid
+
             reason = (
                 F.when(F.col(key).isNull(), F.lit("null_key"))
                 .when(F.col("warc_ts").isNull(), F.lit("null_warc_ts"))
                 .when(F.col("seq").isNull(), F.lit("null_seq"))
                 .otherwise(F.lit("bad_op"))
             )
+            staging = os.path.join(
+                self.quarantine_dir, f".tmp-epoch-{epoch}-{_uuid.uuid4().hex[:8]}"
+            )
             (
                 events.where(~valid)
                 .withColumn("_reason", reason)
                 .write.mode("overwrite")
-                .parquet(os.path.join(self.quarantine_dir, f"epoch={epoch}"))
+                .parquet(staging)
             )
+            final_dir = os.path.join(self.quarantine_dir, f"epoch={epoch}")
+            if os.path.isdir(final_dir):
+                # crash-replay: a complete previous write is equivalent
+                # (deterministic content) — keep it, drop the stage
+                _shutil.rmtree(staging)
+            else:
+                try:
+                    os.rename(staging, final_dir)
+                except OSError:
+                    _shutil.rmtree(staging)  # concurrent writer won
         if self.quarantine and n_quarantined:
             events = events.where(valid)
         if horizon is not None:
