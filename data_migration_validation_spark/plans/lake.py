@@ -1061,7 +1061,24 @@ class LakeTable:
                     os.rmdir(root)
                 except OSError:
                     pass
-        return {"removed_files": removed}
+        # stale quarantine staging dirs (.tmp-epoch-*): hidden from readers
+        # (Spark skips dot-prefixed paths) but left behind by a crash
+        # between the dead-letter write and its rename-into-place
+        import shutil as _shutil
+
+        qdir = os.path.join(self.path, "_quarantine")
+        removed_staging = 0
+        if os.path.isdir(qdir):
+            for entry in os.listdir(qdir):
+                p = os.path.join(qdir, entry)
+                if (
+                    entry.startswith(".tmp-")
+                    and os.path.isdir(p)
+                    and now - os.stat(p).st_mtime >= min_age_seconds
+                ):
+                    _shutil.rmtree(p, ignore_errors=True)
+                    removed_staging += 1
+        return {"removed_files": removed, "removed_staging_dirs": removed_staging}
 
     # -- bucket-count evolution -------------------------------------------------
 

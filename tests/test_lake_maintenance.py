@@ -256,3 +256,24 @@ def test_vacuum_removes_only_old_orphans(spark, tmp_path):
 
     after = sorted(r["url"] for r in eng.read_final().select("url").collect())
     assert after == before
+
+
+def test_vacuum_sweeps_stale_quarantine_staging(spark, tmp_path):
+    import os
+    import time
+
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    table = str(tmp_path / "qs")
+    lake = LakeTable(table, num_buckets=2)
+    qdir = os.path.join(table, "_quarantine")
+    stale = os.path.join(qdir, ".tmp-epoch-3-dead")
+    live = os.path.join(qdir, "epoch=3")
+    os.makedirs(stale)
+    os.makedirs(live)
+    past = time.time() - 7200
+    os.utime(stale, (past, past))
+    out = lake.vacuum(min_age_seconds=3600)
+    assert out["removed_staging_dirs"] == 1
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(live)  # real quarantine data untouched
