@@ -159,12 +159,18 @@ class Snapshot:
     # manifest lower/upper bounds) — point lookups skip files whose range
     # excludes the key. Files absent from the map are always candidates.
     file_stats: dict | None = None
+    # per-file order-timestamp [min, max] as ISO strings — event-time
+    # range reads skip files whose window cannot overlap. Same
+    # absent-means-candidate rule.
+    ts_stats: dict | None = None
 
     def __post_init__(self):
         if self.delta_groups is None:
             self.delta_groups = {}
         if self.file_stats is None:
             self.file_stats = {}
+        if self.ts_stats is None:
+            self.ts_stats = {}
 
     def files_for(self, buckets: set[int] | None) -> dict[str, list[str]]:
         return _select_files(self.file_groups, buckets)
@@ -282,6 +288,7 @@ class LakeTable:
             gc_horizon=m.get("gc_horizon"),
             table_props=m.get("table"),
             file_stats=m.get("file_stats", {}),
+            ts_stats=m.get("ts_stats", {}),
         )
 
     def _all_manifest_versions(self) -> list[int]:
@@ -524,6 +531,75 @@ class LakeTable:
             out, key=key_col, order=order_cols, bucket_col=BUCKET_COL
         ).drop(BUCKET_COL)
 
+    # -- event-time range read ---------------------------------------------------
+
+    def files_in_time_range(
+        self, t0: str, t1: str, version: int | None = None
+    ) -> tuple[dict[str, list[str]], dict[str, list[str]], int, int]:
+        """Manifest-only planning for an event-time range scan: base and
+        delta file groups whose recorded order-timestamp [min, max]
+        window can overlap ``[t0, t1]`` (ISO strings; chronological ==
+        lexicographic). Files without recorded bounds stay candidates.
+        Returns (base_groups, delta_groups, candidate_files,
+        total_files)."""
+        snap = self.snapshot(version) if version is not None else self.current_snapshot()
+        if snap is None:
+            return {}, {}, 0, 0
+        stats = snap.ts_stats or {}
+
+        def _prune(groups: dict[str, list[str]]) -> dict[str, list[str]]:
+            out = {}
+            for sj, fs in groups.items():
+                kept = [
+                    f
+                    for f in fs
+                    if f not in stats or not (stats[f][1] < t0 or stats[f][0] > t1)
+                ]
+                if kept:
+                    out[sj] = kept
+            return out
+
+        base_all = snap.files_for(None)
+        delta_all = snap.delta_files_for(None)
+        total = sum(len(fs) for g in (base_all, delta_all) for fs in g.values())
+        base_g, delta_g = _prune(base_all), _prune(delta_all)
+        cand = sum(len(fs) for g in (base_g, delta_g) for fs in g.values())
+        return base_g, delta_g, cand, total
+
+    def read_events_in_range(
+        self, spark: SparkSession, t0: str, t1: str, version: int | None = None
+    ) -> DataFrame | None:
+        """Raw stored event-versions whose order timestamp falls in
+        ``[t0, t1]`` — the late-event / incident-investigation scan
+        ("what arrived for this window?"). Deliberately ``merge=False``
+        semantics: this returns every surviving stored VERSION in the
+        window, NOT live state (pruning files before an LWW merge would
+        let an out-of-window newer version be missed — range-scanning
+        merged state is a different, full-merge query).
+
+        Scale shape: manifest-level file skipping on the per-file
+        timestamp bounds recorded at commit time — merge-on-read delta
+        files cluster tightly by arrival time, so a narrow window reads a
+        few delta files out of a 100-TB table — then an exact
+        ``between`` filter that parquet row-group stats prune further."""
+        snap = self.snapshot(version) if version is not None else self.current_snapshot()
+        if snap is None:
+            return None
+        base_g, delta_g, _, _ = self.files_in_time_range(t0, t1, version=version)
+        base = self._read_groups(spark, snap, base_g)
+        delta = self._read_groups(spark, snap, delta_g)
+        if base is None and delta is None:
+            return spark.createDataFrame([], snap.schema)
+        out = (
+            base.unionByName(delta)
+            if base is not None and delta is not None
+            else (base if base is not None else delta)
+        )
+        ts = F.col(self.order_cols[0])
+        return out.where(
+            (ts >= F.to_timestamp(F.lit(t0))) & (ts <= F.to_timestamp(F.lit(t1)))
+        )
+
     # -- commit ---------------------------------------------------------------
 
     def commit(
@@ -658,29 +734,59 @@ class LakeTable:
 
         rows_written: int | None = 0
         new_stats: dict[str, list] = {}
+        new_ts_stats: dict[str, list] = {}
         try:
+            import datetime as _dtmod
+
             import pyarrow.parquet as pq
 
+            ts_col = self.order_cols[0] if self.order_cols else None
             for files in new_by_bucket.values():
                 for fp in files:
                     md = pq.ParquetFile(fp).metadata
                     rows_written += md.num_rows
-                    # key-column [min, max] for manifest-level file
-                    # skipping (Iceberg lower/upper bounds). Same footer
-                    # read as the row count — no extra IO. Missing or
-                    # non-string stats just leave the file un-prunable.
+                    # per-file [min, max] bounds from the SAME footer read
+                    # as the row count — no extra IO (Iceberg lower/upper
+                    # bounds): the key column for point-lookup file
+                    # skipping, and the order timestamp for event-time
+                    # range pruning. Missing/odd-typed stats just leave
+                    # the file un-prunable.
                     try:
                         names = [md.schema.column(i).name for i in range(md.num_columns)]
-                        j = names.index(self.key_col)
-                        mins, maxs = [], []
-                        for rg in range(md.num_row_groups):
-                            st = md.row_group(rg).column(j).statistics
-                            if st is None or not st.has_min_max:
-                                raise ValueError("no stats")
-                            mins.append(st.min)
-                            maxs.append(st.max)
-                        if mins and all(isinstance(v, str) for v in mins + maxs):
-                            new_stats[fp] = [min(mins), max(maxs)]
+
+                        def _bounds(col: str):
+                            j = names.index(col)
+                            mins, maxs = [], []
+                            for rg in range(md.num_row_groups):
+                                st = md.row_group(rg).column(j).statistics
+                                if st is None or not st.has_min_max:
+                                    raise ValueError("no stats")
+                                mins.append(st.min)
+                                maxs.append(st.max)
+                            if not mins:
+                                raise ValueError("no row groups")
+                            return min(mins), max(maxs)
+
+                        try:
+                            lo, hi = _bounds(self.key_col)
+                            if isinstance(lo, str) and isinstance(hi, str):
+                                new_stats[fp] = [lo, hi]
+                        except ValueError:
+                            pass
+                        if ts_col is not None:
+                            try:
+                                lo, hi = _bounds(ts_col)
+                                if isinstance(lo, _dtmod.datetime) and isinstance(
+                                    hi, _dtmod.datetime
+                                ):
+                                    # ISO "YYYY-MM-DD HH:MM:SS[.ffffff]"
+                                    # compares chronologically as a string
+                                    new_ts_stats[fp] = [
+                                        lo.isoformat(sep=" "),
+                                        hi.isoformat(sep=" "),
+                                    ]
+                            except ValueError:
+                                pass
                     except Exception:
                         pass
         except Exception:
@@ -698,6 +804,11 @@ class LakeTable:
         file_stats = {
             f: st
             for f, st in {**((prev.file_stats or {}) if prev else {}), **new_stats}.items()
+            if f in live_files
+        }
+        ts_stats = {
+            f: st
+            for f, st in {**((prev.ts_stats or {}) if prev else {}), **new_ts_stats}.items()
             if f in live_files
         }
 
@@ -732,6 +843,7 @@ class LakeTable:
             },
             "gc_horizon": horizon,
             "file_stats": file_stats,
+            "ts_stats": ts_stats,
         }
         # claim a version number exclusively: if a concurrent writer took
         # this one, bump and re-claim (the manifest content only embeds

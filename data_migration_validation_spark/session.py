@@ -68,6 +68,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP_MICROS, not the legacy INT96 default: INT96 writes NO
+        # parquet column statistics, which blinds both the manifest's
+        # event-time file bounds (time-range pruned reads) and any
+        # engine's row-group skipping on timestamp predicates.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch sizing for fat rows: the default 10k rows/batch is
         # ~200 MB when rows carry 10-20 KiB web pages, which stalls the

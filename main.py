@@ -178,6 +178,36 @@ def cmd_expire(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_events(args: argparse.Namespace) -> int:
+    """Event-time range scan (raw stored versions, manifest-pruned by
+    per-file timestamp bounds) — the late-event investigation read."""
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    spark = _spark("dmv-events")
+    lake = LakeTable(args.table)
+    _, _, cand, total = lake.files_in_time_range(args.from_ts, args.to_ts)
+    df = lake.read_events_in_range(spark, args.from_ts, args.to_ts)
+    if df is None:
+        print(json.dumps({"command": "events", "error": "empty table"}))
+        return 1
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        df = spark.read.parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "command": "events",
+                "from": args.from_ts,
+                "to": args.to_ts,
+                "files_scanned": cand,
+                "files_total": total,
+                "rows": df.count(),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_vacuum(args: argparse.Namespace) -> int:
     from data_migration_validation_spark.plans.lake import LakeTable
 
@@ -648,6 +678,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ch.add_argument("--out", default="", help="write the feed to this parquet path")
     ch.set_defaults(fn=cmd_changes)
+
+    ev = sub.add_parser(
+        "events", help="event-time range scan (raw versions, file-skipped)"
+    )
+    ev.add_argument("--table", required=True)
+    ev.add_argument("--from-ts", required=True, dest="from_ts")
+    ev.add_argument("--to-ts", required=True, dest="to_ts")
+    ev.add_argument("--out", default="")
+    ev.set_defaults(fn=cmd_events)
 
     vac = sub.add_parser(
         "vacuum", help="delete orphan data files no manifest references (driver-side)"
