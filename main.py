@@ -352,6 +352,10 @@ def cmd_status(args: argparse.Namespace) -> int:
         "bytes": sum(os.path.getsize(f) for f in base_files + delta_files if os.path.exists(f)),
         "gc_horizon": snap.gc_horizon,
         "staged_versions": lake.staged_versions(),
+        # file-skipping coverage: how many live files carry key / event-
+        # time bounds (files without bounds are always scan candidates)
+        "files_with_key_bounds": len(snap.file_stats or {}),
+        "files_with_ts_bounds": len(snap.ts_stats or {}),
         "table": snap.table_props,
     }
 
