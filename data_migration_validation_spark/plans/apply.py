@@ -352,6 +352,7 @@ class CDCApplyEngine:
             merged = conform(winners, target).withColumn(
                 BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
             )
+            merged, inline_obs = self._attach_inline_audit(merged, audit)
             committed, rows_written = _commit(
                 new_bucket_data=merged,
                 touched_buckets=touched,
@@ -404,6 +405,7 @@ class CDCApplyEngine:
             merged = lww_window_bucketed(
                 merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
             )
+            merged, inline_obs = self._attach_inline_audit(merged, audit)
             committed, rows_written = _commit(
                 new_bucket_data=merged,
                 touched_buckets=touched,
@@ -418,8 +420,12 @@ class CDCApplyEngine:
             staged_v = self.lake.last_staged_version
             if crash_after_stage:
                 raise RuntimeError("injected crash between stage and publish")
-            staged = self.lake.read_added(self.spark, staged_v)
-            violations = audit(staged)
+            if inline_obs is not None:
+                # counts were collected by the staging write itself
+                violations = audit.postprocess(inline_obs.get)
+            else:
+                staged = self.lake.read_added(self.spark, staged_v)
+                violations = audit(staged)
             bad = {k: int(v) for k, v in violations.items() if v}
             self.ckpt.append_metrics(
                 [
@@ -535,6 +541,19 @@ class CDCApplyEngine:
             seconds=time.monotonic() - t0,
             quarantined=int(n_quarantined),
         )
+
+    def _attach_inline_audit(self, df, audit):
+        """Inline write-audit-publish: attach the audit's aggregate
+        expressions to the merge plan via DataFrame.observe, so the
+        STAGING WRITE itself collects the check counts — zero extra
+        Spark jobs (vs the classic mode's one O(epoch) scan of the
+        staged files). Returns (df, Observation|None)."""
+        if audit is None or not getattr(audit, "inline", False):
+            return df, None
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return df.observe(obs, *audit.agg_exprs(df.columns)), obs
 
     def _extract(self, html_col):
         if self.text_extract == "expr":

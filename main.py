@@ -96,7 +96,8 @@ def cmd_apply(args: argparse.Namespace) -> int:
         audit = page_envelope_audit(
             max_delete_fraction=(
                 args.max_delete_fraction if args.max_delete_fraction >= 0 else None
-            )
+            ),
+            inline=args.audit_inline,
         )
     for epoch in range(int(lo), int(hi) + 1):
         if epoch < start:
@@ -591,6 +592,14 @@ def build_parser() -> argparse.ArgumentParser:
         "page-envelope audit (url format, order columns, html⇒text) over "
         "the staged files, publish only on zero violations; a rejected "
         "epoch leaves the table untouched and stops the replay (exit 2)",
+    )
+    a.add_argument(
+        "--audit-inline",
+        action="store_true",
+        dest="audit_inline",
+        help="with --audit: collect the checks during the staging write "
+        "(DataFrame.observe — zero extra jobs; skips the exact "
+        "duplicate-key count, which the LWW merge guarantees anyway)",
     )
     a.add_argument(
         "--max-delete-fraction",

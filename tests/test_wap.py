@@ -330,3 +330,28 @@ def test_wap_through_schema_evolution(spark, tmp_path):
     )
     assert final.exceptAll(expected).count() == 0
     assert expected.exceptAll(final).count() == 0
+
+
+def test_inline_audit_observes_during_write(spark, tmp_path, monkeypatch):
+    """inline=True: the checks are collected by the staging write itself
+    (DataFrame.observe) — the staged files are NEVER re-read, and a bad
+    epoch is still rejected with the table untouched."""
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    def _boom(*a, **kw):
+        raise AssertionError("inline audit re-read the staged files")
+
+    monkeypatch.setattr(LakeTable, "read_added", _boom)
+    eng = _engine(spark, tmp_path)
+    st = eng.apply_epoch(_events(spark, GOOD), 0, audit=page_envelope_audit(inline=True))
+    assert not st.rejected
+    assert eng.read_final().count() == 2
+
+    st = eng.apply_epoch(
+        _events(spark, BAD_URL, epoch=1), 1, audit=page_envelope_audit(inline=True)
+    )
+    assert st.rejected
+    assert st.audit_violations == {"bad_url_format": 1}
+    assert eng.lake.epochs_applied() == {0}
+    assert eng.lake.staged_versions() == []
+    assert eng.read_final().count() == 2
