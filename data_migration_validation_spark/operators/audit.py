@@ -79,6 +79,21 @@ class AuditSpec:
                     "duplicate_keys"
                 )
             )
+        else:
+            # observe() forbids distinct aggregates, but
+            # approx_count_distinct (HyperLogLog++) IS observable: count −
+            # approx_distinct keeps a duplicate-key SIGNAL in the
+            # always-on inline mode. HLL under-/over-estimates by ~rsd, so
+            # small negatives are expected on clean data — postprocess
+            # clamps at 0 and the threshold below absorbs estimator noise
+            # (a merge-invariant break duplicates a large fraction of the
+            # commit, far above 2.5% of distinct keys).
+            aggs.append(
+                (
+                    F.count(F.col(self.key_col))
+                    - F.approx_count_distinct(self.key_col, rsd=0.01)
+                ).alias("_dup_keys_raw")
+            )
         for c in self.not_null:
             if c in columns:
                 aggs.append(
@@ -96,13 +111,25 @@ class AuditSpec:
             )
         if self.max_delete_fraction is not None and "deleted" in columns:
             aggs.append(F.sum((~live).cast("long")).alias("_n_deleted"))
+        if (self.max_delete_fraction is not None and "deleted" in columns) or not distinct_ok:
+            # row count feeds the delete-storm fraction and/or the
+            # approx-duplicate noise band
             aggs.append(F.count("*").alias("_n_rows"))
         return aggs
 
     def postprocess(self, row: dict) -> dict[str, int]:
         """Raw aggregate values → ``{check: violation_count}`` (the
-        delete-storm fraction rule resolves here)."""
+        delete-storm fraction rule and the approximate duplicate-key
+        threshold resolve here)."""
         out = {k: int(v or 0) for k, v in row.items() if not k.startswith("_")}
+        if "_dup_keys_raw" in row:
+            # flag only when the excess exceeds the HLL estimator's noise
+            # band (rsd=1% → 2.5% guard): a real merge-invariant break
+            # duplicates rows wholesale, not fractionally
+            raw = int(row["_dup_keys_raw"] or 0)
+            n = int(row.get("_n_rows") or 0)
+            noise = max(3.0, 0.025 * n)
+            out["duplicate_keys_approx"] = raw if raw > noise else 0
         if self.max_delete_fraction is not None and "_n_rows" in row:
             n, d = int(row["_n_rows"] or 0), int(row["_n_deleted"] or 0)
             out["delete_storm"] = int(

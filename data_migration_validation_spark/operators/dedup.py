@@ -316,15 +316,42 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     shingle_k: int = 3,
     block_col: str | None = None,
+    max_block: int | None = None,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-token shingle hash sets for pairs
     within a blocking column (e.g. lang) — the quadratic baseline the LSH
-    path approximates. Output (a, b, jaccard) rounded to 6 dp."""
+    path approximates. Output (a, b, jaccard) rounded to 6 dp.
+
+    This is O(n²) WITHIN each block by construction. Guard rails:
+
+    * ``block_col=None`` means ONE global block — a full cross join. That
+      is only sane as an oracle baseline on tiny inputs, so it now
+      requires ``allow_unblocked=True``; without it the call fails
+      loudly instead of silently planning an O(n²) job on a big table.
+    * ``max_block`` caps the rows per block (same idea as the LSH path's
+      ``max_bucket``): oversized blocks are DROPPED from pair expansion —
+      at web scale a hot block (one dominant language) would otherwise
+      quadratically swamp the job. Dropped blocks are exactly the ones
+      whose pairs the LSH/SimHash operators should handle instead."""
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "ngram_jaccard_pairs with block_col=None is a full O(n^2) cross "
+            "join; pass block_col (e.g. lang) or opt in explicitly with "
+            "allow_unblocked=True for small oracle baselines"
+        )
     sh = df.select(
         F.col(id_col).alias("_id"),
         shingle_hashes(tokens(F.col(text_col)), k=shingle_k).alias("_sh"),
         *( [F.col(block_col).alias("_blk")] if block_col else [F.lit(0).alias("_blk")] ),
     )
+    if max_block is not None:
+        # riding the same shuffle key as the join: per-block size via a
+        # window over _blk, then a codegen filter — no extra join
+        w = Window.partitionBy("_blk")
+        sh = sh.withColumn("_blk_n", F.count(F.lit(1)).over(w)).where(
+            F.col("_blk_n") <= F.lit(max_block)
+        ).drop("_blk_n")
     a = sh.select(F.col("_blk"), F.col("_id").alias("a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_blk"), F.col("_id").alias("b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -268,12 +268,57 @@ def cell_mismatches(old: DataFrame, new: DataFrame, cfg: ValidationConfig) -> Da
 
 # -- O10: possible rekeys ------------------------------------------------------------------
 
-def possible_rekeys(old: DataFrame, new: DataFrame, cfg: ValidationConfig, attr: str) -> DataFrame:
+def rekey_hot_values(
+    old: DataFrame, new: DataFrame, cfg: ValidationConfig, attr: str, max_freq: int = 1000
+) -> DataFrame:
+    """(attr value, old_count, new_count) for attribute values more
+    frequent than ``max_freq`` on either side — the values
+    :func:`possible_rekeys` EXCLUDES from its join. A shared default
+    value (an empty-ish email, 'unknown', a test fixture) would make the
+    attr equi-join quadratic in that value's frequency; at web scale one
+    hot value is a full cross join. These are reported as their own
+    finding rather than joined: a value shared by thousands of rows
+    identifies nobody, so its 'rekey pairs' are noise anyway."""
+    o = old.where(F.col(attr).isNotNull()).groupBy(attr).agg(
+        F.count(F.lit(1)).alias("old_count")
+    )
+    n = new.where(F.col(attr).isNotNull()).groupBy(attr).agg(
+        F.count(F.lit(1)).alias("new_count")
+    )
+    return (
+        o.join(n, attr, "full_outer")
+        .select(
+            attr,
+            F.coalesce("old_count", F.lit(0)).alias("old_count"),
+            F.coalesce("new_count", F.lit(0)).alias("new_count"),
+        )
+        .where((F.col("old_count") > max_freq) | (F.col("new_count") > max_freq))
+    )
+
+
+def possible_rekeys(
+    old: DataFrame,
+    new: DataFrame,
+    cfg: ValidationConfig,
+    attr: str,
+    max_freq: int | None = 1000,
+) -> DataFrame:
     """(attr, old_pk, new_pk): same secondary attribute, different key —
-    an equi-join on the attribute with a key-inequality filter."""
+    an equi-join on the attribute with a key-inequality filter.
+
+    ``max_freq`` is the hot-value guard: attribute values with more than
+    ``max_freq`` occurrences on either side are excluded from the join
+    (a frequent value makes this OLD×NEW join quadratic in its
+    frequency) and surfaced by :func:`rekey_hot_values` instead. The hot
+    set is tiny by construction, so the exclusion is a broadcast
+    anti-join; ``None`` disables the guard for small oracle baselines."""
     pk = cfg.primary_key
     o = old.select(F.col(attr), F.col(pk).alias("old_pk")).where(F.col(attr).isNotNull())
     n = new.select(F.col(attr), F.col(pk).alias("new_pk")).where(F.col(attr).isNotNull())
+    if max_freq is not None:
+        hot = rekey_hot_values(old, new, cfg, attr, max_freq).select(attr)
+        # excluding hot values from ONE side removes every pair they'd form
+        o = o.join(hot, attr, "left_anti")
     return o.join(n, attr).where(F.col("old_pk") != F.col("new_pk"))
 
 
@@ -462,6 +507,18 @@ def check_summary(
     cfg: ValidationConfig,
     format_rules: dict[str, str] | None = None,
 ) -> DataFrame:
+    """The (check, status, notes) summary frame alone — see
+    :func:`check_summary_with_counts` for semantics and action count."""
+    df, _ = check_summary_with_counts(old, new, cfg, format_rules)
+    return df
+
+
+def check_summary_with_counts(
+    old: DataFrame,
+    new: DataFrame,
+    cfg: ValidationConfig,
+    format_rules: dict[str, str] | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
     """(check, status, notes) — the reference's PASS/WARN/FAIL pill rows,
     including the value-mismatch count (docs/script.js:355-370 summarizes
     mismatches) and, when ``format_rules`` is given, one row per format
@@ -677,7 +734,21 @@ def check_summary(
                 f"violations={n}",
             )
         )
-    return spark.createDataFrame(rows, "check string, status string, notes string")
+    # header-pill counts AS DATA, stashed on the returned DataFrame: the
+    # HTML report needs these numbers and they are born right here as
+    # ints — regex-recovering them from the notes strings (the previous
+    # design) string-coupled report.py to this module's formats
+    counts = {
+        "old_total": raw_o,
+        "old_adj": adj_o,
+        "new_total": raw_n,
+        "new_adj": adj_n,
+        "only_in_old": miss,
+        "only_in_new": extra,
+        "mismatches": n_mismatch,
+    }
+    out = spark.createDataFrame(rows, "check string, status string, notes string")
+    return out, counts
 
 
 # -- column profiler (pre-migration data profiling) ------------------------------------------------

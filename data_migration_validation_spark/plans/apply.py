@@ -102,6 +102,7 @@ class CDCApplyEngine:
         enrich_text: bool = False,
         quarantine: bool = True,
         text_extract: str = "arrow",
+        store=None,
     ):
         """``in_batch_prededup``: add a key-hash pre-shuffle that dedups the
         batch BEFORE text extraction and the merge. Worth it for backfill /
@@ -144,7 +145,12 @@ class CDCApplyEngine:
         # key_col/num_buckets are TABLE properties: None adopts an existing
         # table's recorded values (or url/32 for a new table); a conflicting
         # explicit value raises in the LakeTable constructor
-        self.lake = LakeTable(table_path, key_col=key_col, num_buckets=num_buckets)
+        # `store` selects the commit-protocol storage backend (POSIX
+        # rename/link/flock by default; ConditionalPutCommitStore for
+        # object stores — see plans/commit_store.py)
+        self.lake = LakeTable(
+            table_path, key_col=key_col, num_buckets=num_buckets, store=store
+        )
         self.ckpt = CheckpointStore(checkpoint_path)
         self.key_col = self.lake.key_col
         self.use_pandas_lww = use_pandas_lww
@@ -214,6 +220,13 @@ class CDCApplyEngine:
             F.col(key).isNotNull()
             & F.col("warc_ts").isNotNull()
             & F.col("seq").isNotNull()
+            # op.isNotNull first: a bare isin(...) yields NULL (not
+            # False) for a NULL op under three-valued logic, and a NULL
+            # `valid` fails BOTH the quarantine branch (~valid is NULL)
+            # and the apply filter — the row would vanish from every
+            # path while still being counted as seen. Reachable via the
+            # Debezium parser, which maps unmapped ops to NULL.
+            & F.col("op").isNotNull()
             & F.col("op").isin("I", "U", "D")
         )
         horizon = self.lake.gc_horizon()
@@ -352,16 +365,7 @@ class CDCApplyEngine:
             merged = conform(winners, target).withColumn(
                 BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
             )
-            merged, inline_obs = self._attach_inline_audit(merged, audit)
-            committed, rows_written = _commit(
-                new_bucket_data=merged,
-                touched_buckets=touched,
-                epoch=epoch,
-                schema=target,
-                summary={"applied_events": n_events},
-                mode="delta",
-                publish=audit is None,
-            )
+            commit_mode = "delta"
         else:
             # 4. in-batch LWW (CoW path). Window path: SKIPPED as a
             # separate shuffle — raw events go straight into the bucket-
@@ -405,60 +409,89 @@ class CDCApplyEngine:
             merged = lww_window_bucketed(
                 merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
             )
-            merged, inline_obs = self._attach_inline_audit(merged, audit)
-            committed, rows_written = _commit(
-                new_bucket_data=merged,
+            commit_mode = "rewrite"
+
+        def _stage_and_commit():
+            # a FRESH observation per attempt: pyspark's Observation caches
+            # the first action's metrics, so re-staging after a publish
+            # conflict must re-attach, or the audit would judge attempt 1's
+            # counts against attempt 2's files
+            m, obs = self._attach_inline_audit(merged, audit)
+            c, rw = _commit(
+                new_bucket_data=m,
                 touched_buckets=touched,
                 epoch=epoch,
                 schema=target,
                 summary={"applied_events": n_events},
-                mode="rewrite",
+                mode=commit_mode,
                 publish=audit is None,
             )
+            return c, rw, obs
+
+        committed, rows_written, inline_obs = _stage_and_commit()
 
         if committed and audit is not None:
-            staged_v = self.lake.last_staged_version
-            if crash_after_stage:
-                raise RuntimeError("injected crash between stage and publish")
-            if inline_obs is not None:
-                # counts were collected by the staging write itself
-                violations = audit.postprocess(inline_obs.get)
-            else:
-                staged = self.lake.read_added(self.spark, staged_v)
-                violations = audit(staged)
-            bad = {k: int(v) for k, v in violations.items() if v}
-            self.ckpt.append_metrics(
-                [
-                    {
-                        "epoch": epoch,
-                        "stage": "audit",
-                        "metric": f"audit_{name}",
-                        "value": float(count),
-                    }
-                    for name, count in violations.items()
-                ]
-                + [
-                    {
-                        "epoch": epoch,
-                        "stage": "audit",
-                        "metric": "audit_rejected",
-                        "value": float(bool(bad)),
-                    }
-                ]
-            )
-            if bad:
-                self.lake.reject_staged(staged_v)
-                return ApplyStats(
-                    epoch=epoch,
-                    skipped=False,
-                    events_seen=int(n_events),
-                    buckets_touched=len(touched),
-                    seconds=time.monotonic() - t0,
-                    quarantined=int(n_quarantined),
-                    rejected=True,
-                    audit_violations=bad,
+            # publish under the same bounded-retry policy as _commit: a
+            # compaction commit racing an audited epoch moves the head
+            # between stage and publish; the losing stage is rejected and
+            # the epoch re-stages (re-executes the deterministic merge
+            # plan) against the new head instead of raising out of
+            # apply_epoch and stranding an orphan manifest.
+            for attempt in range(3):
+                staged_v = self.lake.last_staged_version
+                if crash_after_stage:
+                    raise RuntimeError("injected crash between stage and publish")
+                if inline_obs is not None:
+                    # counts were collected by the staging write itself
+                    violations = audit.postprocess(inline_obs.get)
+                else:
+                    staged = self.lake.read_added(self.spark, staged_v)
+                    violations = audit(staged)
+                bad = {k: int(v) for k, v in violations.items() if v}
+                self.ckpt.append_metrics(
+                    [
+                        {
+                            "epoch": epoch,
+                            "stage": "audit",
+                            "metric": f"audit_{name}",
+                            "value": float(count),
+                        }
+                        for name, count in violations.items()
+                    ]
+                    + [
+                        {
+                            "epoch": epoch,
+                            "stage": "audit",
+                            "metric": "audit_rejected",
+                            "value": float(bool(bad)),
+                        }
+                    ]
                 )
-            self.lake.publish(staged_v)
+                if bad:
+                    self.lake.reject_staged(staged_v)
+                    return ApplyStats(
+                        epoch=epoch,
+                        skipped=False,
+                        events_seen=int(n_events),
+                        buckets_touched=len(touched),
+                        seconds=time.monotonic() - t0,
+                        quarantined=int(n_quarantined),
+                        rejected=True,
+                        audit_violations=bad,
+                    )
+                try:
+                    self.lake.publish(staged_v)
+                    break
+                except CommitConflictError:
+                    self.lake.reject_staged(staged_v)
+                    if epoch in self.lake.epochs_applied():
+                        committed = False  # another replayer won: idempotent skip
+                        break
+                    if attempt == 2:
+                        raise
+                    committed, rows_written, inline_obs = _stage_and_commit()
+                    if not committed:
+                        break
         commit_ts = time.time()
         if committed:
             self.ckpt.append_lineage(

@@ -7,8 +7,10 @@ Parquet + atomic metadata renames, behind an interface the apply engine
 uses. The key properties it reproduces:
 
 * **atomic snapshot commits** — a commit is visible iff the CURRENT
-  pointer file references its manifest; manifest and pointer are written
-  via write-temp-then-``os.rename`` (atomic on POSIX);
+  pointer references its manifest; the pointer flip is a compare-and-swap
+  through the :class:`~.commit_store.CommitStore` interface (POSIX:
+  flock + rename; object stores: etag-preconditioned PUT — the metadata
+  path has NO rename/link dependency baked in);
 * **idempotent, epoch-keyed commits** — each snapshot records the set of
   applied batch epochs (like Iceberg snapshot summary properties); a
   commit for an already-applied epoch is a no-op, which is what makes
@@ -27,12 +29,21 @@ uses. The key properties it reproduces:
   (additive columns read as null, widened types cast up), so adding a
   column or widening int→long never rewrites data.
 
-Layout::
+Layout (Iceberg's manifest-list / manifest-file split)::
 
     table/
       data/commit-<version>/bucket=<k>/part-*.parquet
-      _meta/v<version>.json     # manifest: files per bucket + schema + epochs
-      _meta/CURRENT             # atomic pointer: current version number
+      _meta/v<version>.json        # snapshot: schema + epochs + per-bucket
+                                   #   shard POINTERS (O(buckets) entries)
+      _meta/manifests/b<k>-<uuid>.json  # immutable per-bucket shard: that
+                                   #   bucket's files + min/max bounds
+      _meta/CURRENT                # pointer: current version number
+
+A commit writes new shards ONLY for the buckets it touched; every other
+bucket's shard is carried forward by reference — commit metadata volume
+is O(touched buckets' files), never O(all files in the table). Buckets
+are a bounded table property (~10^3-10^4); file counts grow without
+bound, which is what killed the previous monolithic manifest at scale.
 
 Reference parity note: this generalizes the reference's CSV "sink"
 (/root/reference/src/validate.py:133-139 writes proof CSVs) into the
@@ -43,7 +54,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 import uuid
 from dataclasses import dataclass
 
@@ -51,18 +61,39 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from data_migration_validation_spark.plans.commit_store import (
+    CommitStore,
+    PosixCommitStore,
+    atomic_write,
+)
+
 BUCKET_COL = "_bucket"
-
-# how long a crashed writer's pointer-flip lock survives before another
-# writer may break it (the critical section is two tiny file writes)
-LOCK_TTL_SECONDS = 60.0
-
 
 class CommitConflictError(RuntimeError):
     """The table's published head moved between reading it and publishing
     against it — another writer committed first. The losing commit's
     files are cleaned up; callers re-read state and retry (maintenance
     ops do this automatically)."""
+
+
+def _canon_ts(s: str) -> str:
+    """Canonicalize a timestamp string to naive-UTC ISO with a space
+    separator ("YYYY-MM-DD HH:MM:SS[.ffffff]"), the one format where
+    lexicographic order == chronological order. Accepts tz-aware inputs
+    (pyarrow yields "...+00:00" for Spark's UTC-adjusted
+    TIMESTAMP_MICROS; legacy manifests recorded those verbatim) and
+    "T"-separated ISO. Unparseable strings pass through unchanged —
+    the caller's comparison then degrades to best-effort, matching the
+    'files without recorded bounds stay candidates' stance."""
+    import datetime as _dt
+
+    try:
+        dt = _dt.datetime.fromisoformat(s.replace("T", " ").strip())
+    except ValueError:
+        return s
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return dt.isoformat(sep=" ")
 
 
 def bucket_expr(key: Column, num_buckets: int) -> Column:
@@ -82,42 +113,9 @@ def _xxhash64_str(s: str) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def _atomic_write(path: str, content: str) -> None:
-    d = os.path.dirname(path)
-    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
-    try:
-        with os.fdopen(fd, "w") as f:
-            f.write(content)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, path)  # atomic on POSIX
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-
-
-def _exclusive_write(path: str, content: str) -> bool:
-    """Atomically create ``path`` with ``content`` iff it does not exist
-    (``os.link`` fails on an existing target — the POSIX test-and-set).
-    Returns False if another writer claimed the path first. Used for
-    manifest files: two concurrent commits may compute the same next
-    version number, and a rename there would silently clobber the other
-    writer's manifest before the pointer CAS could even see the race."""
-    d = os.path.dirname(path)
-    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
-    try:
-        with os.fdopen(fd, "w") as f:
-            f.write(content)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+# storage primitives live in commit_store; _atomic_write stays importable
+# from here (checkpoint.py and rollup.py use it for their own local state)
+_atomic_write = atomic_write
 
 
 def _select_files(
@@ -209,6 +207,7 @@ class LakeTable:
         key_col: str | None = None,
         num_buckets: int | None = None,
         order_cols: tuple[str, ...] | None = None,
+        store: CommitStore | None = None,
     ):
         """Open (or create) a lake table.
 
@@ -225,10 +224,17 @@ class LakeTable:
         self.path = path
         self.meta_dir = os.path.join(path, "_meta")
         self.data_dir = os.path.join(path, "data")
+        # ALL mutable-metadata IO (pointer, manifests, shards) goes through
+        # the commit store — swap PosixCommitStore for
+        # ConditionalPutCommitStore and the exactly-once/lost-update
+        # guarantees carry over to S3/GCS (see commit_store.py)
+        self.store: CommitStore = store or PosixCommitStore(self.meta_dir)
         # version of the most recent publish=False commit (WAP stage)
         self.last_staged_version: int | None = None
-        os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # immutable shard cache: per-bucket manifest files are uuid-named
+        # and never rewritten, so caching by path is always safe
+        self._shard_cache: dict[str, dict] = {}
         stored = self._stored_props()
         if stored is not None:
             for name, passed, have in [
@@ -255,47 +261,135 @@ class LakeTable:
         v = self.current_version()
         if v is None:
             return None
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            return json.load(f).get("table")
+        return self._manifest_raw(v).get("table")
 
     # -- snapshot bookkeeping -------------------------------------------------
 
     def current_version(self) -> int | None:
-        cur = os.path.join(self.meta_dir, "CURRENT")
-        if not os.path.exists(cur):
-            return None
-        with open(cur) as f:
-            return int(f.read().strip())
+        cur = self.store.read("CURRENT")
+        return None if cur is None else int(cur.strip())
 
     def current_snapshot(self) -> Snapshot | None:
         v = self.current_version()
         return None if v is None else self.snapshot(v)
+
+    def _write_bucket_shards(
+        self,
+        file_groups: dict,
+        delta_groups: dict,
+        file_stats: dict,
+        ts_stats: dict,
+        touched_buckets: set[int],
+        prev_shards: dict[str, str],
+    ) -> tuple[dict[str, str], list[str]]:
+        """Shard the file-level metadata per bucket (Iceberg's
+        manifest-list / manifest-file split): every UNTOUCHED bucket
+        carries its immutable shard file forward BY REFERENCE; only the
+        touched buckets get a new shard written. Commit metadata volume
+        is therefore O(touched buckets' files) + O(num_buckets) path
+        entries in the snapshot file — never O(all files in the table),
+        which a monolithic manifest rewrites on every commit (at 10^5-
+        10^6 files that is the metadata path's scale killer). Buckets are
+        bounded (a table property, ~10^3-10^4); files grow without bound.
+        A legacy monolithic parent (empty ``prev_shards``) is sharded in
+        full once, on its first sharded commit. Returns
+        ``(bucket -> shard relpath, newly written relpaths)``."""
+        all_buckets = {
+            b for g in (file_groups, delta_groups) for bb in g.values() for b in bb
+        }
+        touched_strs = {str(b) for b in touched_buckets}
+        bucket_manifests: dict[str, str] = {}
+        added_manifests: list[str] = []
+        for b in sorted(all_buckets, key=int):
+            if b not in touched_strs and b in prev_shards:
+                bucket_manifests[b] = prev_shards[b]  # carried by reference
+                continue
+            base = {sj: bb[b] for sj, bb in file_groups.items() if bb.get(b)}
+            delta = {sj: bb[b] for sj, bb in delta_groups.items() if bb.get(b)}
+            b_files = {f for fs in base.values() for f in fs} | {
+                f for fs in delta.values() for f in fs
+            }
+            shard = {
+                "bucket": b,
+                "base": base,
+                "delta": delta,
+                "file_stats": {f: st for f, st in file_stats.items() if f in b_files},
+                "ts_stats": {f: st for f, st in ts_stats.items() if f in b_files},
+            }
+            rel = f"manifests/b{b}-{uuid.uuid4().hex[:12]}.json"
+            self.store.write(rel, json.dumps(shard))
+            bucket_manifests[b] = rel
+            added_manifests.append(rel)
+        return bucket_manifests, added_manifests
+
+    def _load_shard(self, relpath: str) -> dict:
+        if relpath not in self._shard_cache:
+            content = self.store.read(relpath)
+            if content is None:
+                raise FileNotFoundError(f"bucket manifest {relpath} missing")
+            self._shard_cache[relpath] = json.loads(content)
+        return self._shard_cache[relpath]
+
+    def _resolve_groups(
+        self, m: dict, buckets: set[int] | None = None
+    ) -> tuple[dict, dict, dict, dict]:
+        """(file_groups, delta_groups, file_stats, ts_stats) for a raw
+        manifest — resolving per-bucket manifest shards for the sharded
+        format (only the ``buckets`` asked for, when given: a point
+        lookup parses ONE shard out of thousands), or reading them inline
+        for legacy monolithic manifests."""
+        if "bucket_manifests" not in m:  # legacy monolithic manifest
+            return (
+                m.get("file_groups", {}),
+                m.get("delta_groups", {}),
+                m.get("file_stats", {}),
+                m.get("ts_stats", {}),
+            )
+        file_groups: dict = {}
+        delta_groups: dict = {}
+        file_stats: dict = {}
+        ts_stats: dict = {}
+        want = None if buckets is None else {str(b) for b in buckets}
+        for b, rel in m["bucket_manifests"].items():
+            if want is not None and b not in want:
+                continue
+            shard = self._load_shard(rel)
+            for sj, fs in shard.get("base", {}).items():
+                file_groups.setdefault(sj, {})[b] = list(fs)
+            for sj, fs in shard.get("delta", {}).items():
+                delta_groups.setdefault(sj, {})[b] = list(fs)
+            file_stats.update(shard.get("file_stats", {}))
+            ts_stats.update(shard.get("ts_stats", {}))
+        if not file_groups:
+            # keep the current schema recorded even when it has no files
+            file_groups[json.dumps(json.loads(m["schema"]), sort_keys=True)] = {}
+        return file_groups, delta_groups, file_stats, ts_stats
 
     def snapshot(self, version: int) -> Snapshot:
         """Load a specific snapshot by version — the time-travel entry
         point (Iceberg: ``VERSION AS OF``). Manifests are immutable and
         never vacuumed here, and commits never delete data files, so every
         published version stays readable."""
-        with open(os.path.join(self.meta_dir, f"v{version}.json")) as f:
-            m = json.load(f)
+        m = self._manifest_raw(version)
+        file_groups, delta_groups, file_stats, ts_stats = self._resolve_groups(m)
         return Snapshot(
             version=m["version"],
             epochs=m["epochs"],
             schema=StructType.fromJson(json.loads(m["schema"])),
-            file_groups=m["file_groups"],
+            file_groups=file_groups,
             summary=m.get("summary", {}),
-            delta_groups=m.get("delta_groups", {}),
+            delta_groups=delta_groups,
             gc_horizon=m.get("gc_horizon"),
             table_props=m.get("table"),
-            file_stats=m.get("file_stats", {}),
-            ts_stats=m.get("ts_stats", {}),
+            file_stats=file_stats,
+            ts_stats=ts_stats,
         )
 
     def _all_manifest_versions(self) -> list[int]:
         return sorted(
             int(fn[1:-5])
-            for fn in os.listdir(self.meta_dir)
-            if fn.startswith("v") and fn.endswith(".json")
+            for fn in self.store.list("")
+            if fn.startswith("v") and fn.endswith(".json") and "/" not in fn
         )
 
     def versions(self) -> list[int]:
@@ -312,7 +406,7 @@ class LakeTable:
         chain: list[int] = []
         v: int | None = cur
         while v is not None:
-            if not os.path.exists(os.path.join(self.meta_dir, f"v{v}.json")):
+            if not self.store.exists(f"v{v}.json"):
                 break  # ancestor expired (expire_snapshots): history ends here
             m = self._manifest_raw(v)
             chain.append(v)
@@ -383,11 +477,7 @@ class LakeTable:
     def _next_version(self) -> int:
         # Scan existing manifests (not CURRENT) so a crash between manifest
         # write and pointer update never reuses a version number.
-        versions = [
-            int(fn[1:-5])
-            for fn in os.listdir(self.meta_dir)
-            if fn.startswith("v") and fn.endswith(".json")
-        ]
+        versions = self._all_manifest_versions()
         return (max(versions) + 1) if versions else 0
 
     # -- read -----------------------------------------------------------------
@@ -461,6 +551,40 @@ class LakeTable:
 
     # -- point lookup ---------------------------------------------------------
 
+    def snapshot_pruned(self, version: int | None, buckets: set[int]) -> Snapshot | None:
+        """Snapshot restricted to the given buckets: with sharded
+        manifests this parses ONLY those buckets' shard files — a point
+        lookup on a 10^4-bucket table reads one shard, not the whole
+        manifest tree (the read-side half of the metadata-scaling story;
+        legacy monolithic manifests degrade to a full parse)."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return None
+        m = self._manifest_raw(v)
+        file_groups, delta_groups, file_stats, ts_stats = self._resolve_groups(
+            m, buckets=buckets
+        )
+        return Snapshot(
+            version=m["version"],
+            epochs=m["epochs"],
+            schema=StructType.fromJson(json.loads(m["schema"])),
+            file_groups=file_groups,
+            summary=m.get("summary", {}),
+            delta_groups=delta_groups,
+            gc_horizon=m.get("gc_horizon"),
+            table_props=m.get("table"),
+            file_stats=file_stats,
+            ts_stats=ts_stats,
+        )
+
+    def _key_bucket(self, key_value: str, version: int | None = None) -> int:
+        """The key's bucket under the table properties AS OF a version —
+        driver-side, manifest-only, no Spark job."""
+        v = version if version is not None else self.current_version()
+        props = (self._manifest_raw(v).get("table") or {}) if v is not None else {}
+        num_buckets = int(props.get("num_buckets", self.num_buckets))
+        return _xxhash64_str(key_value) % num_buckets
+
     def lookup_files(
         self, key_value: str, version: int | None = None
     ) -> tuple[dict[str, list[str]], dict[str, list[str]], int]:
@@ -468,13 +592,12 @@ class LakeTable:
         (computed driver-side with the same xxhash64 the layout uses) and
         the base/delta file groups for that bucket, pruned by the per-file
         key [min, max] bounds. Returns (base_groups, delta_groups,
-        bucket). Files without recorded bounds stay candidates."""
-        snap = self.snapshot(version) if version is not None else self.current_snapshot()
-        if snap is None:
+        bucket). Files without recorded bounds stay candidates. Only the
+        key's bucket shard is parsed (see :meth:`snapshot_pruned`)."""
+        if (version if version is not None else self.current_version()) is None:
             return {}, {}, -1
-        props = snap.table_props or {}
-        num_buckets = int(props.get("num_buckets", self.num_buckets))
-        bucket = _xxhash64_str(key_value) % num_buckets
+        bucket = self._key_bucket(key_value, version)
+        snap = self.snapshot_pruned(version, {bucket})
         stats = snap.file_stats or {}
 
         def _prune(groups: dict[str, list[str]]) -> dict[str, list[str]]:
@@ -503,12 +626,12 @@ class LakeTable:
         bounds skip base files whose range excludes the key (after a
         key-sorted compaction each base file covers a narrow range), and
         only the surviving files are read, filtered, and LWW-merged. The
-        100-TB shape: a lookup touches a handful of parquet files
-        regardless of table size."""
-        snap = self.snapshot(version) if version is not None else self.current_snapshot()
-        if snap is None:
+        100-TB shape: a lookup touches a handful of parquet files — and
+        parses ONE bucket-manifest shard — regardless of table size."""
+        if (version if version is not None else self.current_version()) is None:
             return None
-        base_g, delta_g, _ = self.lookup_files(key_value, version=version)
+        base_g, delta_g, bucket = self.lookup_files(key_value, version=version)
+        snap = self.snapshot_pruned(version, {bucket})
         props = snap.table_props or {}
         key_col = props.get("key_col", self.key_col)
         base = self._read_groups(spark, snap, base_g)
@@ -545,7 +668,15 @@ class LakeTable:
         snap = self.snapshot(version) if version is not None else self.current_snapshot()
         if snap is None:
             return {}, {}, 0, 0
-        stats = snap.ts_stats or {}
+        # normalize BOTH sides to naive-UTC canonical form before the
+        # lexicographic compare — stored bounds may be legacy tz-aware
+        # strings ("...+00:00"), and a suffixed string sorts after its
+        # naive twin, wrongly pruning files at the window edge.
+        stats = {
+            f: [_canon_ts(st[0]), _canon_ts(st[1])]
+            for f, st in (snap.ts_stats or {}).items()
+        }
+        t0, t1 = _canon_ts(t0), _canon_ts(t1)
 
         def _prune(groups: dict[str, list[str]]) -> dict[str, list[str]]:
             out = {}
@@ -779,11 +910,16 @@ class LakeTable:
                                 if isinstance(lo, _dtmod.datetime) and isinstance(
                                     hi, _dtmod.datetime
                                 ):
-                                    # ISO "YYYY-MM-DD HH:MM:SS[.ffffff]"
-                                    # compares chronologically as a string
+                                    # Record NAIVE UTC: pyarrow returns
+                                    # tz-aware datetimes for Spark's
+                                    # TIMESTAMP_MICROS (isAdjustedToUTC),
+                                    # and a "+00:00" suffix breaks the
+                                    # chronological==lexicographic
+                                    # contract files_in_time_range
+                                    # relies on.
                                     new_ts_stats[fp] = [
-                                        lo.isoformat(sep=" "),
-                                        hi.isoformat(sep=" "),
+                                        _canon_ts(lo.isoformat(sep=" ")),
+                                        _canon_ts(hi.isoformat(sep=" ")),
                                     ]
                             except ValueError:
                                 pass
@@ -815,6 +951,14 @@ class LakeTable:
         prev_horizon = prev.gc_horizon if prev else None
         # ISO strings compare chronologically; the horizon only advances
         horizon = max(filter(None, [prev_horizon, gc_horizon]), default=None)
+
+        prev_shards: dict[str, str] = {}
+        if prev is not None:
+            prev_shards = self._manifest_raw(prev.version).get("bucket_manifests") or {}
+        bucket_manifests, added_manifests = self._write_bucket_shards(
+            file_groups, delta_groups, file_stats, ts_stats, touched_buckets, prev_shards
+        )
+
         manifest = {
             "version": version,
             # WAP bookkeeping: the published version this commit built on
@@ -826,8 +970,11 @@ class LakeTable:
             "commit_dir": commit_dir,
             "epochs": sorted(applied | {epoch}) if epoch is not None else sorted(applied),
             "schema": schema.json(),
-            "file_groups": file_groups,
-            "delta_groups": delta_groups,
+            "bucket_manifests": bucket_manifests,
+            # shards THIS commit wrote (vs carried) — the reject/cleanup
+            # unit: discarding a stage must not touch shards other
+            # snapshots still reference
+            "added_manifests": added_manifests,
             "summary": {
                 **(summary or {}),
                 "epoch": epoch,
@@ -842,15 +989,11 @@ class LakeTable:
                 "order_cols": list(self.order_cols),
             },
             "gc_horizon": horizon,
-            "file_stats": file_stats,
-            "ts_stats": ts_stats,
         }
         # claim a version number exclusively: if a concurrent writer took
         # this one, bump and re-claim (the manifest content only embeds
         # the number; staleness vs the new head is caught by the flip CAS)
-        while not _exclusive_write(
-            os.path.join(self.meta_dir, f"v{version}.json"), json.dumps(manifest)
-        ):
+        while not self.store.write_exclusive(f"v{version}.json", json.dumps(manifest)):
             version = self._next_version()
             manifest["version"] = version
         if publish:
@@ -870,59 +1013,30 @@ class LakeTable:
     # -- pointer flip under optimistic concurrency ------------------------------
 
     def _flip(self, version: int, expected_parent: int | None) -> None:
-        """Publish ``version`` by flipping CURRENT — iff the head is still
-        ``expected_parent`` (compare-and-swap). The check and the flip run
-        under a lockfile (O_CREAT|O_EXCL — atomic on POSIX; Iceberg does
-        the same CAS against its catalog): without it, two writers that
-        both parented off head H would each flip, and the second flip
-        silently drops the first commit's files from the carried-forward
-        manifest — a lost update. Raises :class:`CommitConflictError` on a
-        moved head. A lock older than ``LOCK_TTL_SECONDS`` is broken (a
-        crashed writer's critical section is two tiny file writes — if the
-        lock is a minute old, its owner is gone)."""
-        import time as _time
-
-        lock = os.path.join(self.meta_dir, "COMMIT.lock")
-        deadline = _time.monotonic() + 30.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {_time.time()}".encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    age = _time.time() - os.stat(lock).st_mtime
-                except FileNotFoundError:
-                    continue  # released between the open and the stat
-                if age > LOCK_TTL_SECONDS:
-                    try:
-                        os.unlink(lock)  # break a crashed writer's lock
-                    except FileNotFoundError:
-                        pass
-                    continue
-                if _time.monotonic() > deadline:
-                    raise TimeoutError(f"commit lock {lock} held for {age:.0f}s")
-                _time.sleep(0.02)
-        try:
+        """Publish ``version`` by compare-and-swapping CURRENT from
+        ``expected_parent`` — the commit store's one synchronization
+        primitive (Iceberg does the same CAS against its catalog).
+        Without it, two writers that both parented off head H would each
+        flip, and the second flip silently drops the first commit's files
+        from the carried-forward manifest — a lost update. Raises
+        :class:`CommitConflictError` on a moved head. How the CAS is made
+        atomic is the store's business: flock + rename on POSIX,
+        etag-preconditioned PUT on an object store (commit_store.py)."""
+        expected = None if expected_parent is None else str(expected_parent)
+        if not self.store.cas("CURRENT", expected, str(version)):
             cur = self.current_version()
-            if cur != expected_parent:
-                raise CommitConflictError(
-                    f"cannot publish v{version}: built on parent "
-                    f"{expected_parent} but the table head is now {cur}"
-                )
-            _atomic_write(os.path.join(self.meta_dir, "CURRENT"), str(version))
-        finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            raise CommitConflictError(
+                f"cannot publish v{version}: built on parent "
+                f"{expected_parent} but the table head is now {cur}"
+            )
 
     # -- write-audit-publish ----------------------------------------------------
 
     def _manifest_raw(self, version: int) -> dict:
-        with open(os.path.join(self.meta_dir, f"v{version}.json")) as f:
-            return json.load(f)
+        content = self.store.read(f"v{version}.json")
+        if content is None:
+            raise FileNotFoundError(f"manifest v{version}.json missing")
+        return json.loads(content)
 
     def staged_versions(self) -> list[int]:
         """Manifests written but never published (not on CURRENT's parent
@@ -957,17 +1071,23 @@ class LakeTable:
         self._flip(version, m.get("parent"))
 
     def reject_staged(self, version: int) -> None:
-        """Discard a staged commit: delete the files it added and its
-        manifest. Refuses published versions (those are table history)."""
+        """Discard a staged commit: delete the files it added, the bucket
+        manifest shards it wrote (never carried ones — other snapshots
+        reference those), and its manifest. Refuses published versions
+        (those are table history). The snapshot manifest goes FIRST so a
+        crash mid-reject leaves only unreferenced blobs (vacuum's job),
+        never a manifest naming deleted shards."""
         if version in set(self.versions()):
             raise ValueError(f"v{version} is published; reject_staged only discards stages")
         m = self._manifest_raw(version)
+        self.store.delete(f"v{version}.json")
+        for rel in m.get("added_manifests", []):
+            self.store.delete(rel)
         commit_dir = m.get("commit_dir")
         if commit_dir and os.path.isdir(commit_dir):
             import shutil
 
             shutil.rmtree(commit_dir)
-        os.unlink(os.path.join(self.meta_dir, f"v{version}.json"))
 
     def cleanup_staged(self) -> int:
         """Reclaim ALL unpublished manifests and their files (orphans from
@@ -1092,7 +1212,7 @@ class LakeTable:
             keep.add(cur)
         expired = [v for v in versions if v not in keep]
         if not expired:
-            return {"expired_versions": 0, "removed_files": 0}
+            return {"expired_versions": 0, "removed_files": 0, "removed_shards": 0}
 
         def _files(snap: Snapshot) -> set[str]:
             return {
@@ -1104,20 +1224,40 @@ class LakeTable:
             }
 
         live = set()
+        live_shards: set[str] = set()
         for v in keep:
             live |= _files(self.snapshot(v))
+            live_shards |= set(
+                (self._manifest_raw(v).get("bucket_manifests") or {}).values()
+            )
+        # staged (unpublished) manifests also pin their shards
+        for v in self.staged_versions():
+            live_shards |= set(
+                (self._manifest_raw(v).get("bucket_manifests") or {}).values()
+            )
         dead = set()
+        dead_shards: set[str] = set()
         for v in expired:
             dead |= _files(self.snapshot(v)) - live
+            dead_shards |= (
+                set((self._manifest_raw(v).get("bucket_manifests") or {}).values())
+                - live_shards
+            )
         # manifests first (see docstring crash ordering)
         for v in expired:
-            os.unlink(os.path.join(self.meta_dir, f"v{v}.json"))
+            self.store.delete(f"v{v}.json")
+        for rel in dead_shards:
+            self.store.delete(rel)
         removed = 0
         for f in sorted(dead):
             if os.path.exists(f):
                 os.unlink(f)
                 removed += 1
-        return {"expired_versions": len(expired), "removed_files": removed}
+        return {
+            "expired_versions": len(expired),
+            "removed_files": removed,
+            "removed_shards": len(dead_shards),
+        }
 
     # -- orphan-file vacuum -------------------------------------------------------
 
@@ -1137,12 +1277,15 @@ class LakeTable:
         import time as _time
 
         referenced: set[str] = set()
+        referenced_shards: set[str] = set()
         for v in self._all_manifest_versions():
             m = self._manifest_raw(v)
-            for groups in (m.get("file_groups", {}), m.get("delta_groups", {})):
+            file_groups, delta_groups, _, _ = self._resolve_groups(m)
+            for groups in (file_groups, delta_groups):
                 for by_bucket in groups.values():
                     for fs in by_bucket.values():
                         referenced.update(fs)
+            referenced_shards.update((m.get("bucket_manifests") or {}).values())
         # Spark writes bookkeeping next to the data (.crc checksums,
         # _SUCCESS markers) that manifests never name: in a LIVE commit
         # dir they must survive (deleting a live file's .crc defeats
@@ -1190,7 +1333,25 @@ class LakeTable:
                 ):
                     _shutil.rmtree(p, ignore_errors=True)
                     removed_staging += 1
-        return {"removed_files": removed, "removed_staging_dirs": removed_staging}
+        # bucket-manifest shards referenced by NO manifest: a crash between
+        # shard write and manifest claim, or a partial reject, strands
+        # them. Same age guard as data files (a younger shard may belong
+        # to an in-flight commit whose manifest isn't claimed yet);
+        # unknown age (mtime None) is treated as too young.
+        removed_shards = 0
+        for rel in self.store.list("manifests/"):
+            if rel in referenced_shards:
+                continue
+            age_base = self.store.mtime(rel)
+            if age_base is None or now - age_base < min_age_seconds:
+                continue
+            self.store.delete(rel)
+            removed_shards += 1
+        return {
+            "removed_files": removed,
+            "removed_staging_dirs": removed_staging,
+            "removed_shards": removed_shards,
+        }
 
     # -- bucket-count evolution -------------------------------------------------
 

@@ -9,15 +9,14 @@ engine builds the same DOM in ``docs/script.js:349-370``).
 Everything here is driver-side string formatting over ALREADY-COMPUTED
 tiny rows: the check summary (a handful of rows) and the proof-capped
 mismatch slice (``INLINE_MAX_ROWS`` max, src/validate.py:47). No Spark
-job runs in this module — the header-pill counts are recovered from the
-summary's own notes strings (produced by ``check_summary`` in this
-package, so the formats are stable by construction).
+job runs in this module — the header-pill counts are passed in AS DATA
+(``check_summary_with_counts`` returns them alongside the summary
+frame), never re-parsed out of the notes strings.
 """
 
 from __future__ import annotations
 
 import html
-import re
 from collections.abc import Mapping, Sequence
 
 _STATUS_CLASS = {"PASS": "ok", "WARN": "warn", "FAIL": "fail"}
@@ -37,29 +36,6 @@ _CSS = """
     .section { margin-top: 1.25rem; }
     .small { font-size: .9rem; color:#6b7280; }
 """.rstrip()
-
-_RE_ROWS = re.compile(r"Old=(\d+) \(adj (\d+)\), New=(\d+) \(adj (\d+)\)")
-_RE_MEMBERSHIP = re.compile(r"Only in old=(\d+), only in new=(\d+)")
-_RE_MISMATCH = re.compile(r"count=(\d+)")
-
-
-def summary_counts(check_rows: Sequence[Mapping]) -> dict[str, int]:
-    """Recover the header-pill counts from the check summary's notes —
-    they were computed by the summary's two Spark jobs already; parsing
-    them back beats re-running any scan."""
-    notes = {r["check"]: r["notes"] for r in check_rows}
-    out: dict[str, int] = {}
-    m = _RE_ROWS.search(notes.get("Row count match", ""))
-    if m:
-        out["old_total"], out["old_adj"], out["new_total"], out["new_adj"] = map(int, m.groups())
-    m = _RE_MEMBERSHIP.search(notes.get("Missing/extra keys", ""))
-    if m:
-        out["only_in_old"], out["only_in_new"] = map(int, m.groups())
-    m = _RE_MISMATCH.search(notes.get("Value mismatches", ""))
-    if m:
-        out["mismatches"] = int(m.group(1))
-    return out
-
 
 def _esc(v) -> str:
     return html.escape("" if v is None else str(v))
@@ -91,11 +67,14 @@ def render_report(
     mismatch_rows: Sequence[Sequence],
     title: str = "Data Migration Validation Report",
     subtitle: str = "",
+    counts: Mapping[str, int] | None = None,
 ) -> str:
     """Render the full standalone page. ``check_rows`` are the collected
     check-summary rows (optionally sign-off-annotated); ``mismatch_rows``
-    are the proof-capped slice (values in ``mismatch_cols`` order)."""
-    counts = summary_counts(check_rows)
+    are the proof-capped slice (values in ``mismatch_cols`` order);
+    ``counts`` are the header-pill numbers from
+    ``check_summary_with_counts`` (omit to render without count pills)."""
+    counts = dict(counts or {})
     pills = [_pill(f"Primary key", pk)]
     if columns:
         pills.append(f'<span class="pill">Columns: {_esc(", ".join(columns))}</span>')

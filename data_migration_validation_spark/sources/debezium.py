@@ -55,6 +55,20 @@ def envelope_ddl(fields: str, key: str = "url") -> str:
     )
 
 
+def _floor_div_long(col: Column, divisor: int) -> Column:
+    """Floor division in pure LONG arithmetic — ``(col - pmod(col, d)) / d``
+    computed without ever touching a double. Spark's ``/`` is double
+    division (inexact above 2^53) and ``DIV``/cast truncate toward zero;
+    pmod is always non-negative, so subtracting it then dividing by the
+    (positive) divisor is an exact multiple and a true floor."""
+    d = F.lit(int(divisor)).cast("long")
+    # exact multiple of d (pmod is non-negative), then EXACT division in
+    # decimal(38,0) — a 64-bit value is 19 digits, far inside decimal
+    # range, whereas a double mangles the dividend itself above 2^53
+    exact = (col - F.pmod(col, d)).cast("decimal(38,0)")
+    return (exact / F.lit(int(divisor))).cast("long")
+
+
 def _image_payload(img: Column, fields: str) -> Column:
     """Build the engine payload struct from a row image, decoding
     ``*_b64`` fields to binary and dropping the suffix."""
@@ -116,7 +130,11 @@ def parse_debezium(
         seq.alias("seq"),
         payload.alias("payload"),
         (
-            (seq / F.lit(events_per_epoch)).cast("long")
+            # long DIV, not double /: float division loses exactness for
+            # LSNs above 2^53 (an epoch-boundary event can land in the
+            # wrong epoch) and cast('long') truncates toward zero instead
+            # of flooring for negative seq
+            _floor_div_long(seq.cast("long"), int(events_per_epoch))
             if events_per_epoch
             else F.lit(None).cast("long")
         ).alias("batch_epoch"),

@@ -515,7 +515,9 @@ def cmd_validate(args: argparse.Namespace) -> int:
         # pre-validation profiling: one aggregation job per side
         sink(V.column_profile(old), "profile_old", single_file=True)
         sink(V.column_profile(new), "profile_new", single_file=True)
-    summary = V.check_summary(old, new, cfg, format_rules=format_rules or None)
+    summary, summary_counts = V.check_summary_with_counts(
+        old, new, cfg, format_rules=format_rules or None
+    )
     if args.verification:
         summary = V.annotate_check_signoff(summary, ver_checks)
     sink(summary, "checks", single_file=True)
@@ -535,6 +537,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
             mismatch_cols=list(slice_df.columns),
             mismatch_rows=mism_rows,
             subtitle=f"OLD: {args.old} — NEW: {args.new}",
+            counts=summary_counts,
         )
         with open(os.path.join(args.out, "report.html"), "w") as fh:
             fh.write(page)

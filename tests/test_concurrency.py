@@ -1,9 +1,15 @@
 """Optimistic concurrency for lake commits: on a real cluster,
 maintenance (compaction) runs alongside the ingest job, and two replayers
-of one log can race. The pointer flip is a lockfile-guarded
-compare-and-swap on the recorded parent; manifest version numbers are
-claimed exclusively (os.link); losers clean up their files and retry —
-no commit is ever silently lost and replayers converge idempotently."""
+of one log can race. The pointer flip is a compare-and-swap on the
+recorded parent; manifest version numbers are claimed exclusively;
+losers clean up their files and retry — no commit is ever silently lost
+and replayers converge idempotently.
+
+Every race test runs against BOTH commit stores: the POSIX one
+(flock/rename/link) and the object-store conditional-PUT protocol
+(LocalBlobApi emulates S3/GCS preconditioned writes — no rename, link,
+or lock anywhere in that code path), proving the guarantees are
+properties of the protocol, not of POSIX atomicity."""
 
 from __future__ import annotations
 
@@ -14,6 +20,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_migration_validation_spark.plans.apply import CDCApplyEngine
+from data_migration_validation_spark.plans.commit_store import (
+    ConditionalPutCommitStore,
+    LocalBlobApi,
+)
 from data_migration_validation_spark.plans.lake import CommitConflictError, LakeTable
 from data_migration_validation_spark.sources.binlog import (
     BinlogConfig,
@@ -23,6 +33,17 @@ from data_migration_validation_spark.sources.binlog import (
 )
 
 CFG = BinlogConfig(n_keys=250, max_versions=3, events_per_epoch=200, seed=5)
+
+
+def _store(kind: str, table_path: str):
+    """None = PosixCommitStore default; 'condput' = the object-store
+    protocol over the local conditional-write emulation. Handles on the
+    same table path share the emulation's per-root mutex, so separate
+    LakeTable instances race exactly as separate clients of one bucket
+    would."""
+    if kind == "posix":
+        return None
+    return ConditionalPutCommitStore(LocalBlobApi(table_path + "/_meta_blob"))
 
 
 def _chain_is_consistent(lake: LakeTable) -> bool:
@@ -47,7 +68,8 @@ def test_flip_cas_rejects_moved_head(spark, tmp_path):
     assert lake.current_version() == head  # CAS refused, pointer untouched
 
 
-def test_compaction_races_ingest_without_losing_commits(spark, tmp_path):
+@pytest.mark.parametrize("store_kind", ["posix", "condput"])
+def test_compaction_races_ingest_without_losing_commits(spark, tmp_path, store_kind):
     """Thread A replays all epochs; thread B compacts in a tight loop on
     a SEPARATE LakeTable handle. Every epoch must survive, the final
     state must equal the closed-form oracle, and the manifest parent
@@ -63,6 +85,7 @@ def test_compaction_races_ingest_without_losing_commits(spark, tmp_path):
         checkpoint_path=str(tmp_path / "race-c"),
         num_buckets=4,
         compact_every=None,  # compaction happens ONLY in the racing thread
+        store=_store(store_kind, table),
     )
     eng.apply_epoch(epoch_slice(log, CFG, 0), 0)  # table exists before racing
 
@@ -71,7 +94,7 @@ def test_compaction_races_ingest_without_losing_commits(spark, tmp_path):
     compactions = {"n": 0}
 
     def compact_loop():
-        lake = LakeTable(table)  # separate writer handle
+        lake = LakeTable(table, store=_store(store_kind, table))  # separate writer handle
         while not done.is_set():
             try:
                 if lake.compact(spark):
@@ -101,7 +124,8 @@ def test_compaction_races_ingest_without_losing_commits(spark, tmp_path):
     assert expected.exceptAll(final).count() == 0
 
 
-def test_two_replayers_of_one_log_converge(spark, tmp_path):
+@pytest.mark.parametrize("store_kind", ["posix", "condput"])
+def test_two_replayers_of_one_log_converge(spark, tmp_path, store_kind):
     """Two engines replaying the SAME binlog into the SAME table (the
     accidental-double-deployment scenario): every epoch is applied
     exactly once — whoever loses a race treats the epoch as skipped."""
@@ -117,6 +141,7 @@ def test_two_replayers_of_one_log_converge(spark, tmp_path):
                 table_path=table,
                 checkpoint_path=str(tmp_path / f"ck-{tag}"),
                 num_buckets=4,
+                store=_store(store_kind, table),
             )
             for epoch in range(CFG.n_epochs):
                 eng.apply_epoch(epoch_slice(log, CFG, epoch), epoch)
@@ -131,12 +156,17 @@ def test_two_replayers_of_one_log_converge(spark, tmp_path):
         t.join(timeout=240)
     assert not errs, f"replayer failed: {errs[:1]}"
 
-    lake = LakeTable(table)
+    lake = LakeTable(table, store=_store(store_kind, table))
     snap = lake.current_snapshot()
     assert sorted(snap.epochs) == list(range(CFG.n_epochs))
     assert _chain_is_consistent(lake)
 
-    eng = CDCApplyEngine(spark, table_path=table, checkpoint_path=str(tmp_path / "ck-check"))
+    eng = CDCApplyEngine(
+        spark,
+        table_path=table,
+        checkpoint_path=str(tmp_path / "ck-check"),
+        store=_store(store_kind, table),
+    )
     final = eng.read_final().select("url", "warc_ts", "seq")
     expected = expected_final_state(spark, CFG, log=log).select("url", "warc_ts", "seq")
     assert final.exceptAll(expected).count() == 0

@@ -84,3 +84,36 @@ def test_envelope_parse_is_expression_only(spark):
     df = spark.createDataFrame([(_env("c", "https://a/1", 1, 1, "en"),)], "value string")
     plan = parse_debezium(df, fields=FIELDS)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_batch_epoch_exact_above_2_53_and_negative(spark):
+    """Epoch assignment must be exact long floor-division. Double
+    division is inexact above 2^53 (an LSN at an epoch boundary can land
+    in the neighbouring epoch) and cast('long') truncates toward zero for
+    negative seq instead of flooring."""
+    from data_migration_validation_spark.sources.debezium import _floor_div_long
+
+    n = 1000
+    # 2^60 + 1: as a double this rounds to 2^60 exactly, so double
+    # division assigns the boundary event to the WRONG epoch
+    big_boundary = (1 << 60) + 1
+    cases = [
+        (big_boundary, (big_boundary - ((big_boundary % n))) // n),
+        ((1 << 60), (1 << 60) // n),
+        ((1 << 53) + 111, ((1 << 53) + 111) // n),
+        (-1, -1),        # floor(-1/1000) = -1, NOT 0 (truncation)
+        (-1000, -1),
+        (-1001, -2),
+        (0, 0),
+        (999, 0),
+        (1000, 1),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "seq long")
+    got = [
+        r["e"]
+        for r in df.select(_floor_div_long(F.col("seq"), n).alias("e"))
+        .orderBy("seq")
+        .collect()
+    ]
+    want = [e for _, e in sorted(cases)]
+    assert got == want

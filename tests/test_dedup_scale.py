@@ -71,3 +71,71 @@ def test_exact_dedup_finds_identical_texts(spark):
     )
     got = sorted(tuple(r) for r in exact_dedup(df, "doc_id", "text").collect())
     assert got == [(1, 3), (1, 4)]
+
+
+def test_ngram_jaccard_refuses_unblocked_call(spark, skewed_corpus):
+    """block_col=None means one global block — a full O(n^2) cross join.
+    A public API must fail loudly, not silently plan it."""
+    from data_migration_validation_spark.operators.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="cross\\s*join|O\\(n"):
+        ngram_jaccard_pairs(skewed_corpus, "doc_id", "text")
+
+    # explicit opt-in still works for small oracle baselines
+    df = ngram_jaccard_pairs(
+        skewed_corpus.limit(20), "doc_id", "text", allow_unblocked=True
+    )
+    assert df.count() >= 0
+
+
+def test_ngram_jaccard_max_block_drops_hot_blocks(spark):
+    """A dominant block (one hot language) is dropped from pair
+    expansion, not quadratically expanded; small blocks are unaffected."""
+    from data_migration_validation_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, "common boilerplate text shared by very many documents here", "en")
+            for i in range(50)]
+    rows += [(100 + i, "ein kleines deutsches dokument nummer gleich gleich gleich", "de")
+             for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, block_col="lang", max_block=10
+    )
+    got = capped.collect()
+    assert got, "small de block should still produce pairs"
+    assert all(r["a"] >= 100 and r["b"] >= 100 for r in got)  # en block dropped
+
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5, block_col="lang")
+    assert uncapped.count() > len(got)  # the cap really removed the hot block
+
+
+def test_possible_rekeys_hot_value_guard(spark):
+    """A shared default attribute value (count > max_freq) is excluded
+    from the rekey join — it would be quadratic in its frequency — and
+    surfaced by rekey_hot_values as its own finding."""
+    from data_migration_validation_spark.operators.validation import (
+        ValidationConfig,
+        possible_rekeys,
+        rekey_hot_values,
+    )
+
+    cfg = ValidationConfig(primary_key="id")
+    old = spark.createDataFrame(
+        [(i, "default@x.com") for i in range(30)] + [(100, "real@x.com")],
+        "id long, email string",
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, "default@x.com") for i in range(30)] + [(200, "real@x.com")],
+        "id long, email string",
+    )
+    guarded = possible_rekeys(old, new, cfg, attr="email", max_freq=10)
+    got = [(r["old_pk"], r["new_pk"]) for r in guarded.collect()]
+    assert got == [(100, 200)]  # only the genuine rekey; 900 noise pairs gone
+
+    hot = rekey_hot_values(old, new, cfg, attr="email", max_freq=10).collect()
+    assert len(hot) == 1 and hot[0]["email"] == "default@x.com"
+    assert hot[0]["old_count"] == 30 and hot[0]["new_count"] == 30
+
+    unguarded = possible_rekeys(old, new, cfg, attr="email", max_freq=None)
+    assert unguarded.count() == 30 * 30 + 1  # what the guard prevents

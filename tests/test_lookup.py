@@ -98,3 +98,33 @@ def test_stats_survive_carry_forward(spark, tmp_path):
     )
     after = eng.lake.current_snapshot().file_stats
     assert len(after) >= n_stats  # old stats carried + new delta file's
+
+
+def test_lookup_parses_only_one_bucket_shard(spark, tmp_path):
+    """With sharded manifests, a point lookup must load the key's bucket
+    shard and no other — the read-side metadata cost stays O(1) as bucket
+    (and file) counts grow."""
+    eng = _engine(spark, tmp_path, "shard")
+    lake = eng.lake
+    url = eng.read_final().select("url").limit(1).collect()[0]["url"]
+
+    lake._shard_cache.clear()
+    loaded: list[str] = []
+    orig = lake._load_shard
+
+    def counting(rel):
+        loaded.append(rel)
+        return orig(rel)
+
+    lake._load_shard = counting
+    try:
+        got = lake.lookup(spark, url).collect()
+    finally:
+        lake._load_shard = orig
+    assert len(got) == 1
+    # every load is the SAME bucket's shard (lookup_files + snapshot_pruned
+    # may each ask once; the cache makes repeats free)
+    bucket = lake._key_bucket(url)
+    assert loaded, "expected a sharded manifest"
+    assert all(rel.startswith(f"manifests/b{bucket}-") for rel in loaded), loaded
+    assert len(set(loaded)) == 1

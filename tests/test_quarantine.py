@@ -30,6 +30,11 @@ def _bad_rows(spark, epoch):
         ("U", "https://q/1", None, 101, pay, epoch),  # null warc_ts
         ("U", "https://q/2", ts, None, pay, epoch),   # null seq
         ("X", "https://q/3", ts, 102, pay, epoch),    # unknown op
+        # NULL op: isin() alone yields NULL (not False) under three-valued
+        # logic — regression for the row that once vanished from BOTH the
+        # quarantine and the apply path while still counted as seen
+        # (reachable via the Debezium parser's unmapped-op → NULL)
+        (None, "https://q/4", ts, 103, pay, epoch),
     ]
     return spark.createDataFrame(rows, EV_SCHEMA)
 
@@ -49,7 +54,7 @@ def test_malformed_events_are_quarantined_not_applied(spark, tmp_path):
     )
     st0 = eng.apply_epoch(_events(spark, _EPOCHS[0], 0).unionByName(_bad_rows(spark, 0)), 0)
     st1 = eng.apply_epoch(_events(spark, _EPOCHS[1], 1), 1)
-    assert st0.quarantined == 4 and st1.quarantined == 0
+    assert st0.quarantined == 5 and st1.quarantined == 0
     assert st0.events_seen == len(_EPOCHS[0])  # bad rows not counted applied
     assert _final_rows(eng) == _final_rows(clean)
 
@@ -60,12 +65,13 @@ def test_malformed_events_are_quarantined_not_applied(spark, tmp_path):
         ("null_warc_ts", "U"),
         ("null_seq", "U"),
         ("bad_op", "X"),
+        ("bad_op", None),
     }
     assert set(r["epoch"] for r in dlq.collect()) == {0}
     # metric recorded once, on the violating epoch only
     m = eng.ckpt.metrics()
     m = m[m.metric == "quarantined_events"]
-    assert list(zip(m.epoch, m.value)) == [(0, 4.0)]
+    assert list(zip(m.epoch, m.value)) == [(0, 5.0)]
 
 
 def test_quarantine_replay_is_idempotent(spark, tmp_path):
@@ -80,7 +86,7 @@ def test_quarantine_replay_is_idempotent(spark, tmp_path):
         eng.apply_epoch(ev, 0, crash_after_commit=True)
     st = eng.apply_epoch(ev, 0)  # replay after crash: lake guard skips
     assert st.skipped
-    assert eng.read_quarantine().count() == 4  # not doubled
+    assert eng.read_quarantine().count() == 5  # not doubled
 
 
 def test_clean_epoch_writes_no_quarantine_dir(spark, tmp_path):

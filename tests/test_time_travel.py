@@ -165,6 +165,7 @@ def test_expire_snapshots_bounds_history(spark, tmp_path):
     assert lake.expire_snapshots(keep_last=1) == {
         "expired_versions": 0,
         "removed_files": 0,
+        "removed_shards": 0,
     }
     # the engine keeps committing normally against the trimmed history
     eng2 = CDCApplyEngine(

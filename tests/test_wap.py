@@ -355,3 +355,104 @@ def test_inline_audit_observes_during_write(spark, tmp_path, monkeypatch):
     assert eng.lake.epochs_applied() == {0}
     assert eng.lake.staged_versions() == []
     assert eng.read_final().count() == 2
+
+
+def test_publish_conflict_restages_and_succeeds(spark, tmp_path):
+    """A maintenance commit (compaction) racing an audited epoch moves the
+    head between stage and publish. The publish must not raise out of
+    apply_epoch stranding an orphan: the losing stage is rejected and the
+    epoch re-stages against the new head under the same bounded-retry
+    policy as unaudited commits. The classic audit callable runs between
+    stage and publish, so it doubles as the race-injection point."""
+    eng = _engine(spark, tmp_path, name="race")
+    eng.apply_epoch(_events(spark, GOOD), 0)  # unaudited seed (delta files)
+
+    base = page_envelope_audit()
+    calls = {"n": 0}
+
+    class RacingAudit:
+        inline = False
+
+        def __call__(self, df):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # move the head while epoch 1's stage is pending
+                assert eng.lake.compact(spark) > 0
+            return base(df)
+
+    more = [
+        ("U", "https://a.example.com/1", "2024-01-02 00:00:00", 10,
+         b"<html><p>neu</p></html>", "de"),
+        ("I", "https://a.example.com/3", "2024-01-02 00:01:00", 11,
+         b"<html><p>drei</p></html>", "en"),
+    ]
+    st = eng.apply_epoch(_events(spark, more, epoch=1), 1, audit=RacingAudit())
+    assert not st.rejected and not st.skipped
+    assert calls["n"] == 2  # attempt 1 lost the race, attempt 2 re-audited
+    assert eng.lake.epochs_applied() == {0, 1}
+    assert eng.lake.staged_versions() == []  # loser stage was reclaimed
+    got = {r["url"]: r["lang"] for r in eng.read_final().select("url", "lang").collect()}
+    assert got == {
+        "https://a.example.com/1": "de",
+        "https://a.example.com/2": "de",
+        "https://a.example.com/3": "en",
+    }
+
+
+def test_inline_audit_keeps_approx_duplicate_signal(spark, tmp_path):
+    """Inline (observe-collected) audits cannot run the exact distinct
+    duplicate count, but count − approx_count_distinct IS observable:
+    a seeded duplicate-key merge-invariant break must reject the epoch
+    even in the always-on inline mode; clean LWW output must not
+    false-positive on estimator noise."""
+    from pyspark.sql import Observation
+
+    from data_migration_validation_spark.operators.audit import standard_audit
+
+    spec = standard_audit(key_col="url", inline=True)
+
+    # clean: unique keys → no flag (HLL noise is clamped)
+    clean = spark.range(500).select(
+        F.concat(F.lit("https://u/"), F.col("id")).alias("url")
+    )
+    obs = Observation()
+    clean.observe(obs, *spec.agg_exprs(clean.columns)).write.mode("overwrite").parquet(
+        str(tmp_path / "clean")
+    )
+    v = spec.postprocess(obs.get)
+    assert v["duplicate_keys_approx"] == 0, v
+
+    # broken merge: every key duplicated wholesale → flagged
+    dup = clean.unionAll(clean)
+    obs2 = Observation()
+    dup.observe(obs2, *spec.agg_exprs(dup.columns)).write.mode("overwrite").parquet(
+        str(tmp_path / "dup")
+    )
+    v2 = spec.postprocess(obs2.get)
+    assert v2["duplicate_keys_approx"] > 0, v2
+
+
+def test_inline_audit_rejects_engine_level_duplicate_break(spark, tmp_path, monkeypatch):
+    """Engine-level: sabotage the LWW merge into a passthrough (the
+    merge-invariant break the check exists for) — the inline audit must
+    reject the staged epoch before it becomes visible."""
+    import data_migration_validation_spark.plans.apply as apply_mod
+    from data_migration_validation_spark.operators.audit import standard_audit
+
+    eng = _engine(spark, tmp_path, name="dupbreak")
+    audit = standard_audit(key_col="url", inline=True)
+    eng.apply_epoch(_events(spark, GOOD), 0, audit=audit)  # healthy epoch publishes
+
+    monkeypatch.setattr(
+        apply_mod, "lww_window_bucketed", lambda df, key, order, bucket_col: df
+    )
+    dup_rows = [
+        ("I", "https://a.example.com/9", "2024-01-03 00:00:00", 20 + i,
+         b"<html><p>v</p></html>", "en")
+        for i in range(40)  # 40 versions of ONE key, un-merged
+    ]
+    st = eng.apply_epoch(_events(spark, dup_rows, epoch=1), 1, audit=audit)
+    assert st.rejected
+    assert st.audit_violations.get("duplicate_keys_approx", 0) > 0
+    assert eng.lake.epochs_applied() == {0}
+    assert eng.read_final().count() == 2  # table untouched
