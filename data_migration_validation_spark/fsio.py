@@ -1,0 +1,91 @@
+"""Driver-side data-file IO behind one seam.
+
+Spark's executors already reach data files through Hadoop's FileSystem,
+so the distributed path is object-store-safe for free. But the DRIVER
+also touches data files directly in three places — listing a commit
+directory's written files, reading parquet footers for row counts, and
+reading footer min/max bounds for manifest file-skipping — and those
+calls previously hardcoded ``os``. They now route through a
+:class:`DataFS` handle: the default is the local filesystem (what a
+single box or a POSIX mount needs); an object-store deployment passes
+``DataFS(pyarrow.fs.S3FileSystem(...))`` (or GCS/Azure — any
+``pyarrow.fs.FileSystem``) and every footer read and listing goes
+through it, because ``pyarrow.parquet.ParquetFile`` natively accepts a
+``filesystem=``. No caller knows which backend it is talking to.
+
+(The commit-METADATA path — pointer, manifests — has its own, stricter
+seam in ``plans/commit_store.py``, because it needs conditional-write
+atomicity that plain file IO cannot express.)
+"""
+
+from __future__ import annotations
+
+import os
+
+
+class DataFS:
+    """Minimal driver-side filesystem facade: local ``os`` by default,
+    any ``pyarrow.fs.FileSystem`` when provided."""
+
+    def __init__(self, pafs=None):
+        self.pafs = pafs
+
+    def list_files(self, directory: str) -> list[str]:
+        """Full paths of the plain files directly inside ``directory``
+        (no recursion), [] if it does not exist."""
+        if self.pafs is None:
+            try:
+                return sorted(
+                    os.path.join(directory, fn)
+                    for fn in os.listdir(directory)
+                    if not os.path.isdir(os.path.join(directory, fn))
+                )
+            except FileNotFoundError:
+                return []
+        from pyarrow import fs as pafs_mod
+
+        sel = pafs_mod.FileSelector(directory, recursive=False, allow_not_found=True)
+        return sorted(
+            info.path
+            for info in self.pafs.get_file_info(sel)
+            if info.type == pafs_mod.FileType.File
+        )
+
+    def list_dirs(self, directory: str) -> list[str]:
+        """Full paths of the sub-directories of ``directory``."""
+        if self.pafs is None:
+            try:
+                return sorted(
+                    os.path.join(directory, fn)
+                    for fn in os.listdir(directory)
+                    if os.path.isdir(os.path.join(directory, fn))
+                )
+            except FileNotFoundError:
+                return []
+        from pyarrow import fs as pafs_mod
+
+        sel = pafs_mod.FileSelector(directory, recursive=False, allow_not_found=True)
+        return sorted(
+            info.path
+            for info in self.pafs.get_file_info(sel)
+            if info.type == pafs_mod.FileType.Directory
+        )
+
+    def is_dir(self, path: str) -> bool:
+        if self.pafs is None:
+            return os.path.isdir(path)
+        from pyarrow import fs as pafs_mod
+
+        return self.pafs.get_file_info(path).type == pafs_mod.FileType.Directory
+
+    def parquet_metadata(self, path: str):
+        """Footer metadata only — row counts and column statistics; never
+        reads data pages."""
+        import pyarrow.parquet as pq
+
+        if self.pafs is None:
+            return pq.ParquetFile(path).metadata
+        return pq.ParquetFile(path, filesystem=self.pafs).metadata
+
+
+LOCAL = DataFS()

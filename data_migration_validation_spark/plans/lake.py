@@ -76,6 +76,33 @@ class CommitConflictError(RuntimeError):
     ops do this automatically)."""
 
 
+def _condense_ranges(values) -> list[list[int]]:
+    """Sorted ints → [[lo, hi], ...] of maximal contiguous runs. Applied
+    epochs are near-contiguous by construction (a replayer walks the
+    epoch line), so a year of per-minute epochs condenses from ~500k ints
+    to a handful of pairs — keeping the snapshot manifest O(1) in history
+    length instead of O(epochs)."""
+    out: list[list[int]] = []
+    for v in sorted(set(int(x) for x in values)):
+        if out and v == out[-1][1] + 1:
+            out[-1][1] = v
+        else:
+            out.append([v, v])
+    return out
+
+
+def _expand_ranges(ranges) -> list[int]:
+    return [v for lo, hi in ranges for v in range(int(lo), int(hi) + 1)]
+
+
+def _epochs_of(m: dict) -> list[int]:
+    """Applied epochs from a raw manifest — condensed ``epoch_ranges``
+    (current format) or the flat legacy ``epochs`` list."""
+    if "epoch_ranges" in m:
+        return _expand_ranges(m["epoch_ranges"])
+    return list(m.get("epochs", []))
+
+
 def _canon_ts(s: str) -> str:
     """Canonicalize a timestamp string to naive-UTC ISO with a space
     separator ("YYYY-MM-DD HH:MM:SS[.ffffff]"), the one format where
@@ -208,6 +235,7 @@ class LakeTable:
         num_buckets: int | None = None,
         order_cols: tuple[str, ...] | None = None,
         store: CommitStore | None = None,
+        data_fs=None,
     ):
         """Open (or create) a lake table.
 
@@ -229,6 +257,11 @@ class LakeTable:
         # ConditionalPutCommitStore and the exactly-once/lost-update
         # guarantees carry over to S3/GCS (see commit_store.py)
         self.store: CommitStore = store or PosixCommitStore(self.meta_dir)
+        # driver-side DATA-file IO (commit-dir listing, footer stats):
+        # local os by default, any pyarrow.fs.FileSystem via fsio.DataFS
+        from data_migration_validation_spark.fsio import LOCAL, DataFS  # noqa: F401
+
+        self.data_fs: DataFS = data_fs or LOCAL
         # version of the most recent publish=False commit (WAP stage)
         self.last_staged_version: int | None = None
         os.makedirs(self.data_dir, exist_ok=True)
@@ -374,7 +407,7 @@ class LakeTable:
         file_groups, delta_groups, file_stats, ts_stats = self._resolve_groups(m)
         return Snapshot(
             version=m["version"],
-            epochs=m["epochs"],
+            epochs=_epochs_of(m),
             schema=StructType.fromJson(json.loads(m["schema"])),
             file_groups=file_groups,
             summary=m.get("summary", {}),
@@ -566,7 +599,7 @@ class LakeTable:
         )
         return Snapshot(
             version=m["version"],
-            epochs=m["epochs"],
+            epochs=_epochs_of(m),
             schema=StructType.fromJson(json.loads(m["schema"])),
             file_groups=file_groups,
             summary=m.get("summary", {}),
@@ -799,17 +832,16 @@ class LakeTable:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.parquet(commit_dir)
 
-        # Collect written files per bucket.
+        # Collect written files per bucket (through the data-FS seam:
+        # local by default, a pyarrow FileSystem on an object store).
         new_by_bucket: dict[str, list[str]] = {}
-        for entry in os.listdir(commit_dir):
+        for bdir in self.data_fs.list_dirs(commit_dir):
+            entry = os.path.basename(bdir)
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
             b = entry.split("=", 1)[1]
-            bdir = os.path.join(commit_dir, entry)
             files = [
-                os.path.join(bdir, fn)
-                for fn in os.listdir(bdir)
-                if fn.endswith(".parquet")
+                f for f in self.data_fs.list_files(bdir) if f.endswith(".parquet")
             ]
             if files:
                 new_by_bucket[b] = files
@@ -869,12 +901,10 @@ class LakeTable:
         try:
             import datetime as _dtmod
 
-            import pyarrow.parquet as pq
-
             ts_col = self.order_cols[0] if self.order_cols else None
             for files in new_by_bucket.values():
                 for fp in files:
-                    md = pq.ParquetFile(fp).metadata
+                    md = self.data_fs.parquet_metadata(fp)
                     rows_written += md.num_rows
                     # per-file [min, max] bounds from the SAME footer read
                     # as the row count — no extra IO (Iceberg lower/upper
@@ -968,7 +998,12 @@ class LakeTable:
             # the table)
             "parent": prev.version if prev else None,
             "commit_dir": commit_dir,
-            "epochs": sorted(applied | {epoch}) if epoch is not None else sorted(applied),
+            # condensed ranges: O(1) in history length, not O(epochs) —
+            # a flat list would make every manifest (and every commit)
+            # grow with the table's entire epoch history
+            "epoch_ranges": _condense_ranges(
+                (applied | {epoch}) if epoch is not None else applied
+            ),
             "schema": schema.json(),
             "bucket_manifests": bucket_manifests,
             # shards THIS commit wrote (vs carried) — the reject/cleanup

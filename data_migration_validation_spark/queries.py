@@ -25,19 +25,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _parquet_rows(path: str) -> int:
+def _parquet_rows(path: str, fs=None) -> int:
     """Row count from parquet footers — driver-side metadata only, no
     Spark job (a count() over the scan would schedule a full-table pass
-    just to size epochs)."""
-    import pyarrow.parquet as pq
+    just to size epochs). ``fs`` is a :class:`fsio.DataFS`; the default
+    local one is swapped for a pyarrow FileSystem on an object store."""
+    from data_migration_validation_spark.fsio import LOCAL
 
-    if os.path.isdir(path):
+    fs = fs or LOCAL
+    if fs.is_dir(path):
         return sum(
-            pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
-            for fn in os.listdir(path)
-            if fn.endswith(".parquet")
+            fs.parquet_metadata(f).num_rows
+            for f in fs.list_files(path)
+            if f.endswith(".parquet")
         )
-    return pq.ParquetFile(path).metadata.num_rows
+    return fs.parquet_metadata(path).num_rows
 
 
 # ---------------------------------------------------------------------------

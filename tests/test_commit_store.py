@@ -215,3 +215,25 @@ def test_real_narrow_commit_reuses_shards(spark, tmp_path):
     assert m1["bucket_manifests"]["5"] != m0["bucket_manifests"]["5"]
     # and the merged read still sees both epochs
     assert eng.read_final().count() == 210
+
+
+def test_epoch_ranges_condense_and_roundtrip(tmp_path):
+    """Applied epochs are stored as contiguous RANGES, not a flat list:
+    the snapshot manifest must stay O(1) in history length — a flat list
+    makes every commit's metadata grow with the table's entire epoch
+    history (500k ints after a year of per-minute epochs)."""
+    from data_migration_validation_spark.plans.lake import (
+        _condense_ranges,
+        _expand_ranges,
+    )
+
+    assert _condense_ranges([0, 1, 2, 3]) == [[0, 3]]
+    assert _condense_ranges([5, 0, 1, 3, 2]) == [[0, 3], [5, 5]]
+    assert _condense_ranges([]) == []
+    big = list(range(100_000))
+    assert _condense_ranges(big) == [[0, 99_999]]
+    assert _expand_ranges([[0, 3], [5, 5]]) == [0, 1, 2, 3, 5]
+    # the serialized form of 100k contiguous epochs is a dozen bytes
+    import json
+
+    assert len(json.dumps(_condense_ranges(big))) < 20

@@ -148,20 +148,24 @@ def test_legacy_tz_aware_manifest_bounds_still_prune_correctly(spark, tmp_path):
     for epoch, day in [(0, 1), (1, 11)]:
         eng.apply_epoch(_epoch_events(spark, epoch, day), epoch)
     lake = eng.lake
-    # simulate a legacy manifest ON DISK (snapshots reload per call):
-    # suffix every recorded bound the way pyarrow's tz-aware isoformat did
+    # fabricate a pre-sharding LEGACY manifest on disk: monolithic inline
+    # file_groups/ts_stats (no bucket_manifests), with every bound
+    # suffixed the way pyarrow's tz-aware isoformat once recorded them —
+    # covering both the monolithic-fallback loader and tz normalization
     import json
-    import os
 
     v = lake.current_version()
-    mpath = os.path.join(lake.meta_dir, f"v{v}.json")
-    with open(mpath) as f:
-        m = json.load(f)
+    m = lake._manifest_raw(v)
+    snap = lake.current_snapshot()
+    m.pop("bucket_manifests", None)
+    m.pop("added_manifests", None)
+    m["file_groups"] = snap.file_groups
+    m["delta_groups"] = snap.delta_groups
+    m["file_stats"] = snap.file_stats
     m["ts_stats"] = {
-        f: [lo + "+00:00", hi + "+00:00"] for f, (lo, hi) in m["ts_stats"].items()
+        f: [lo + "+00:00", hi + "+00:00"] for f, (lo, hi) in snap.ts_stats.items()
     }
-    with open(mpath, "w") as f:
-        json.dump(m, f)
+    lake.store.write(f"v{v}.json", json.dumps(m))
     t0, t1 = "2024-01-11 00:00:00", "2024-01-11 23:00:00"
     _, _, cand, total = lake.files_in_time_range(t0, t1)
     assert 0 < cand < total  # prunes day-1 files, keeps day-11 (edge == min)
