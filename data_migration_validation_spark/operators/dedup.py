@@ -243,6 +243,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 50,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Resolve duplicate PAIRS into duplicate CLUSTERS: (member_id,
     cluster_id) where cluster_id is the minimum id in the member's
@@ -255,10 +256,11 @@ def connected_components(
     and its neighbors' (edges join + union + min-aggregate), until a round
     changes nothing. Rounds needed = graph diameter — for near-dup
     clusters (LSH buckets emit near-cliques) that is 1-3, so the loop is
-    short by construction; a workload with genuinely long chains should
-    switch to the large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14), which is the
-    same join shape run O(log n) rounds.
+    short by construction; ``algorithm="star"`` switches to the
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) whose round count is logarithmic
+    in component size — the right choice for genuinely long chains,
+    where label propagation needs diameter rounds.
 
     Scale notes: the edge list is localCheckpoint'd once so the (possibly
     expensive) pair-producing plan is not re-executed every round, and
@@ -267,6 +269,10 @@ def connected_components(
     call shape). Each round is one shuffle on the vertex id; the
     convergence probe reuses the just-materialized label sets.
     """
+    if algorithm == "star":
+        return _connected_components_star(pairs, a_col, b_col, max_iters)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -305,6 +311,78 @@ def connected_components(
             "the large-star/small-star variant"
         )
     return labels.select(F.col("v").alias("member_id"), F.col("lbl").alias("cluster_id"))
+
+
+def _connected_components_star(
+    pairs: DataFrame, a_col: str, b_col: str, max_iters: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14 "Connected Components in MapReduce and Beyond", alg. 2):
+    alternate two edge-rewriting rounds until the edge set is a fixed
+    point, at which stage every component is a star rooted at its
+    minimum id.
+
+    * **large-star**: per vertex u, attach every STRICTLY LARGER
+      neighbor to m = min(neighbors ∪ {u});
+    * **small-star**: orient every edge large→small, then per vertex u
+      attach u and its (smaller) neighbors to their minimum.
+
+    Both rounds strictly decrease a potential function of the edge set
+    and converge in O(log n) rounds even on pathological chains —
+    exactly where min-label propagation needs diameter rounds. Each
+    round is one groupBy(u) min + one join back: two shuffles, same
+    shape at any scale; edges are localCheckpoint'd per round to
+    truncate lineage."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        both = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            both.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = oriented.join(m, "u")
+        return (
+            nbrs.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        unchanged = (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(new_edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"star connected-components did not converge in {max_iters} rounds"
+        )
+    # fixed point = stars: every edge is (member, root); roots map to
+    # themselves
+    members = edges.select(F.col("u").alias("member_id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("member_id"), F.col("v").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()
 
 
 # -- exact n-gram Jaccard -------------------------------------------------------------------

@@ -139,6 +139,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "a", "b")
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same closure via the large-star/small-star algorithm (Kiveris et
+    al. SoCC'14) — O(log n) rounds on long chains where label propagation
+    needs diameter rounds. Shares dedup_clusters' recursive-CTE oracle:
+    both must produce identical (member, min-of-component) labels."""
+    from data_migration_validation_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(
+        corpus(spark, sf_dir), "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_k=SHINGLE_K
+    )
+    return connected_components(pairs, "a", "b", algorithm="star")
+
+
 # the same pair CTEs, closed transitively: min label reachable over the
 # (undirected) pair edges per member. WITH RECURSIVE prefixes the whole
 # chain — DuckDB allows non-recursive CTEs under it.
@@ -708,6 +721,7 @@ CORPUS_REGISTRY: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_star": (dedup_clusters_star, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),

@@ -43,3 +43,31 @@ def test_pair_order_irrelevant(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         _clusters(spark, [(i, i + 1) for i in range(9)], max_iters=2)
+
+
+def test_star_matches_label_on_mixed_graph(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    assert _clusters(spark, pairs, algorithm="star") == _clusters(spark, pairs)
+
+
+def test_star_long_chain_in_log_rounds(spark):
+    """A 50-vertex path needs ~50 label-propagation rounds (min label
+    moves one hop per round) but only O(log n) large-star/small-star
+    rounds — max_iters=10 proves the logarithmic bound while label
+    propagation is given the same budget and must fail."""
+    chain = [(i, i + 1) for i in range(49)]
+    got = _clusters(spark, chain, algorithm="star", max_iters=10)
+    assert set(got.values()) == {0}
+    assert len(got) == 50
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _clusters(spark, chain, algorithm="label", max_iters=10)
+
+
+def test_star_pair_order_irrelevant(spark):
+    got = _clusters(spark, [(5, 3), (3, 8), (8, 1)], algorithm="star")
+    assert got == {1: 1, 3: 1, 5: 1, 8: 1}
+
+
+def test_unknown_algorithm_raises(spark):
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        _clusters(spark, [(1, 2)], algorithm="bogus")
