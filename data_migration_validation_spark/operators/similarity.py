@@ -294,3 +294,198 @@ def ivf_topk(
         F.round(cosine_sim(F.col(vec_col), qv), 6).alias("cos"),
     )
     return _topk_ranked(scored, id_col, k)
+
+
+# -- persisted ANN indexes ----------------------------------------------------
+
+
+class IvfIndex:
+    """A PERSISTED IVF-flat index: the production shape of ``ivf_topk``,
+    which recomputes centroids and re-assigns every vector per query.
+    ``build`` runs assignment ONCE and writes the table partitioned by
+    inverted-list id (the same move as the lake's bucket partitioning);
+    the codebook (n_list × dim floats — metadata-sized) is stored next to
+    the data. A query then reads only its ``n_probe`` lists via a
+    partition filter the scan planner resolves to directories — at 1e9
+    vectors the query plans ~n_probe/n_list of the files and never
+    touches the rest (assert-able in the plan's PartitionFilters).
+
+    Layout::
+
+        index/
+          codebook.json           # centroids + build params
+          lists/_list_id=<cid>/*.parquet
+    """
+
+    _CODEBOOK = "codebook.json"
+    _LISTS = "lists"
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        with open(os.path.join(path, self._CODEBOOK)) as f:
+            cb = json.load(f)
+        self.path = path
+        self.id_col: str = cb["id_col"]
+        self.vec_col: str = cb["vec_col"]
+        self.n_list: int = cb["n_list"]
+        self.centroids: list[tuple[int, list[float]]] = [
+            (int(cid), [float(x) for x in vec]) for cid, vec in cb["centroids"]
+        ]
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_list: int = 16,
+    ) -> "IvfIndex":
+        """One pass: derive the deterministic centroid codebook, assign
+        each vector on the scan (pure expression, no shuffle), and write
+        partitioned by list id. The codebook goes LAST — a crashed build
+        leaves data without a codebook, which ``__init__`` refuses, so a
+        partial index is never queryable."""
+        import json
+        import os
+
+        cents = ivf_centroids(df, id_col, vec_col, n_list)
+        (
+            df.select(id_col, vec_col)
+            .withColumn("_list_id", ivf_assign_expr(F.col(vec_col), cents))
+            .write.partitionBy("_list_id")
+            .mode("overwrite")
+            .parquet(os.path.join(path, cls._LISTS))
+        )
+        with open(os.path.join(path, cls._CODEBOOK), "w") as f:
+            json.dump(
+                {
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "n_list": n_list,
+                    "centroids": cents,
+                },
+                f,
+            )
+        return cls(path)
+
+    def candidates(self, spark, query_values, n_probe: int = 4) -> DataFrame:
+        """The probe lists' rows — filtered on the PARTITION column, so
+        the scan prunes whole ``_list_id=`` directories at planning."""
+        import os
+
+        probes = ivf_probe_cids(query_values, self.centroids, n_probe)
+        lists = spark.read.parquet(os.path.join(self.path, self._LISTS))
+        return lists.where(F.col("_list_id").isin([int(p) for p in probes]))
+
+    def topk(self, spark, query_values, k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Partition-pruned exact rerank: identical results to
+        ``ivf_topk`` with the same codebook, at a fraction of the scan."""
+        qv = F.array(*[F.lit(float(x)) for x in query_values])
+        scored = self.candidates(spark, query_values, n_probe).select(
+            F.col(self.id_col),
+            F.round(cosine_sim(F.col(self.vec_col), qv), 6).alias("cos"),
+        )
+        return _topk_ranked(scored, self.id_col, k)
+
+
+class LshIndex:
+    """A persisted random-hyperplane LSH index: ``n_tables`` hash tables,
+    each a copy of (id, vector) partitioned by that table's bucket key —
+    the classic LSH trade of ``n_tables``× storage for bucket-lookup
+    reads. Queries union the probe buckets of every table via partition
+    filters (multi-probe enumeration unchanged from ``lsh_topk``) and
+    exact-rerank the candidate union.
+
+    Layout::
+
+        index/
+          meta.json
+          t=<table>/_bucket=<key>/*.parquet
+    """
+
+    _META = "meta.json"
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        with open(os.path.join(path, self._META)) as f:
+            m = json.load(f)
+        self.path = path
+        self.id_col: str = m["id_col"]
+        self.vec_col: str = m["vec_col"]
+        self.n_tables: int = m["n_tables"]
+        self.n_bits: int = m["n_bits"]
+        self.dim: int = m["dim"]
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_tables: int = 4,
+        n_bits: int = 8,
+        dim: int = 16,
+    ) -> "LshIndex":
+        import json
+        import os
+
+        for t in range(n_tables):
+            (
+                df.select(id_col, vec_col)
+                # "b"-prefixed: a raw bit-string like 0101 would be
+                # type-inferred back from the directory name as the
+                # INTEGER 101, corrupting every bucket equality
+                .withColumn(
+                    "_bucket",
+                    F.concat(
+                        F.lit("b"), lsh_bucket_bits(F.col(vec_col), t, n_bits, dim)
+                    ),
+                )
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(path, f"t={t}"))
+            )
+        with open(os.path.join(path, cls._META), "w") as f:
+            json.dump(
+                {
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "n_tables": n_tables,
+                    "n_bits": n_bits,
+                    "dim": dim,
+                },
+                f,
+            )
+        return cls(path)
+
+    def topk(
+        self, spark, query_values, k: int = 10, probe_radius: int = 1
+    ) -> DataFrame:
+        """Multi-probe bucket lookups across all tables, partition-pruned
+        per table, then one exact rerank over the de-duplicated union."""
+        import os
+
+        qv = F.array(*[F.lit(float(x)) for x in query_values])
+        cands = None
+        for t in range(self.n_tables):
+            base = query_bucket_key(query_values, t, self.n_bits)
+            keys = ["b" + k for k in probe_keys(base, probe_radius)]
+            tbl = spark.read.parquet(os.path.join(self.path, f"t={t}"))
+            part = tbl.where(F.col("_bucket").isin(keys)).select(
+                self.id_col, self.vec_col
+            )
+            cands = part if cands is None else cands.unionByName(part)
+        scored = (
+            cands.dropDuplicates([self.id_col])
+            .select(
+                F.col(self.id_col),
+                F.round(cosine_sim(F.col(self.vec_col), qv), 6).alias("cos"),
+            )
+        )
+        return _topk_ranked(scored, self.id_col, k)
