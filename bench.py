@@ -44,6 +44,56 @@ CDC_KEYS = {"sf0.001": 2_000, "sf0.01": 12_000, "sf0.1": 60_000}.get(
 )
 
 
+def _stream_bench(spark, log, tmp: str, total_events: int, n_slices: int = 12) -> dict:
+    """Drive stream_apply over the bench binlog and report per-micro-batch
+    latency p50/p95 and throughput from the streaming query's own
+    progress records."""
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+    from data_migration_validation_spark.streaming.microbatch import stream_apply
+
+    stream_log = f"{tmp}/stream-log"
+    # flat part files (one per future micro-batch); batch_epoch rides
+    # along as a plain column — the stream uses batch_id as the epoch
+    log.repartition(n_slices).write.mode("overwrite").parquet(stream_log)
+    engine = CDCApplyEngine(
+        spark,
+        table_path=f"{tmp}/stream-table",
+        checkpoint_path=f"{tmp}/stream-ckpt",
+        num_buckets=CPUS * 2,
+    )
+    q = stream_apply(
+        spark,
+        stream_log,
+        engine,
+        schema=log.schema,
+        checkpoint_location=f"{tmp}/stream-qckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(1200)
+    progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    if not progress:
+        return {}
+    lats = sorted(p["durationMs"]["triggerExecution"] / 1000.0 for p in progress)
+    # event count from the source log, NOT summed numInputRows: the
+    # foreachBatch epoch runs two jobs over the batch (lineage pre-scan +
+    # merge), and the file source's row metric counts the re-scan too
+    # (observed exactly 2x)
+    events = total_events
+    busy = sum(lats)
+
+    def pct(q_: float) -> float:
+        return round(lats[min(len(lats) - 1, int(q_ * (len(lats) - 1) + 0.5))], 3)
+
+    return {
+        "micro_batches": len(lats),
+        "events": int(events),
+        "events_per_sec": round(events / max(busy, 1e-9), 1),
+        "latency_p50_s": pct(0.50),
+        "latency_p95_s": pct(0.95),
+        "latency_max_s": round(lats[-1], 3),
+    }
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -120,6 +170,15 @@ def main() -> None:
             fn, _ = REGISTRY["cdc_final_state"]
             run("cdc_final_state", lambda: fn(spark, SF_DIR).count())
             run("cdc_apply", lambda rnd=rnd: cdc_apply_once(rnd))
+
+        # -- streaming front-end: per-micro-batch latency ------------------
+        # The same binlog driven through stream_apply (readStream →
+        # foreachBatch → epoch commit), sliced into ~12 files so
+        # maxFilesPerTrigger=1 yields a latency DISTRIBUTION, not 3
+        # samples. Latency = Spark's own per-trigger durationMs (includes
+        # planning + the epoch's commit); untimed by wall clock, so host
+        # noise shows up inside the percentiles like it would in prod.
+        streaming = _stream_bench(spark, log, tmp, events_applied)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -138,6 +197,7 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cdc_events_applied": events_applied,
                 "cdc_events_applied_per_sec": round(events_applied / max(cdc_secs, 1e-9), 1),
+                "streaming": streaming,
                 "cpus": CPUS,
             }
         )
