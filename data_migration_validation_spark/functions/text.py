@@ -162,3 +162,39 @@ def lang_id(text: Column) -> Column:
     # the deterministic tiebreak (lexicographically greatest wins ties).
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# -- PII scrubbing -----------------------------------------------------------
+#
+# Regexes are deliberately written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB oracle / Go scanners): no backreferences, no
+# lookaround — so one pattern string drives both engines and any future
+# external scrubber verbatim.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+PII_PATTERNS: dict[str, str] = {
+    "email": EMAIL_RE,
+    "phone": PHONE_RE,
+    "ipv4": IPV4_RE,
+}
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    """Number of matches of ``pattern`` in ``text`` — pure Column
+    expression (JVM regex, whole-stage codegen; no Python in the loop)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def scrub_pii(text: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Redact every PII match with ``<KIND>`` placeholders. Replacement is
+    sequential by kind (email, then phone, then ipv4) — order matters only
+    if patterns overlap, which these by construction do not. At 100 TB
+    this is the shape you want: a scan-only projection, no shuffle, no
+    UDF; throughput is the parquet read."""
+    out = text
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

@@ -101,11 +101,17 @@ def doc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_replay_final(
-    spark: SparkSession, sf_dir: str, audit=None, prefix: str = "dmv-cdc-"
+    spark: SparkSession,
+    sf_dir: str,
+    audit=None,
+    prefix: str = "dmv-cdc-",
+    changes: DataFrame | None = None,
+    engine_kwargs: dict | None = None,
 ) -> DataFrame:
     from data_migration_validation_spark.plans.apply import CDCApplyEngine
 
-    changes = doc_changes(spark, sf_dir)
+    if changes is None:
+        changes = doc_changes(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     # epoch-partitioned log: the per-epoch replay filter prunes to one
@@ -124,6 +130,7 @@ def _cdc_replay_final(
         # compact mid-replay so the oracle validates the delta-commit AND
         # compaction paths, and the final read merges base + newer deltas
         compact_every=2,
+        **(engine_kwargs or {}),
     )
     for epoch in range(int(n_epochs)):
         st = engine.apply_epoch(
@@ -165,6 +172,127 @@ def cdc_final_state_audited(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdc_replay_final(
         spark, sf_dir, audit=page_envelope_audit(), prefix="dmv-cdcaud-"
     )
+
+
+# -- content-novelty replay (plans/novelty.py) --------------------------------
+#
+# doc_changes has no cross-url content duplicates, so novelty is seeded:
+# every doc_id % 9 ∈ {0, 3} document gets a late "mirror" INSERT under a
+# new url — % 9 == 0 re-posts the original v0 content byte-for-byte (a
+# crawler re-discovering the same page: MUST be dropped at ingest),
+# % 9 == 3 posts novel content (MUST be admitted). 9 | doc_id ⇒ 3 | doc_id
+# ⇒ the original is single-version, so its v0 really was admitted — the
+# dup-mirror's fingerprint is genuinely in the index.
+
+
+def doc_changes_with_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = doc_changes(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = _parquet_rows(f"{sf_dir}/documents.parquet")
+    events_per_epoch = max(1, (3 * n_docs) // N_EPOCHS + 1)
+    d = F.col("doc_id")
+    sel = docs.where((d % 9 == 0) | (d % 9 == 3))
+    body = F.when(d % 9 == 0, F.concat(F.col("text"), F.lit(" v0"))).otherwise(
+        F.concat(F.col("text"), F.lit(" m0"))
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>M"),
+            d.cast("string"),
+            F.lit("</title></head><body><p>"),
+            body,
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    seq = F.lit(3 * n_docs) + d * 3  # strictly after every original event
+    mirrors = sel.select(
+        F.lit("I").alias("op"),
+        F.concat(F.lit("https://mirror.example.com/doc/"), d.cast("string")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=(F.lit(36_000) + d % 60).cast("double"))
+        ).alias("warc_ts"),
+        seq.alias("seq"),
+        F.struct(html.alias("html"), F.col("lang").alias("lang")).alias("payload"),
+        (seq / events_per_epoch).cast("long").alias("batch_epoch"),
+    )
+    return base.unionByName(mirrors)
+
+
+def cdc_novel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship replay with the ingest-time content-novelty filter
+    (bloom pre-pass + fingerprint-index exact check): mirror events that
+    re-post already-ingested text never reach the table; novel mirrors
+    land. The oracle recomputes admission as a global first-occurrence
+    window over per-epoch LWW winners — the two must agree row-for-row,
+    which pins the filter's exact semantics (not just its counts)."""
+    return _cdc_replay_final(
+        spark,
+        sf_dir,
+        prefix="dmv-cdcnov-",
+        changes=doc_changes_with_mirrors(spark, sf_dir),
+        engine_kwargs={"novelty_filter": True},
+    )
+
+
+def cdc_novel_state_oracle() -> str:
+    from data_migration_validation_spark.functions.hashing import str_fold_sql
+
+    return f"""
+WITH exploded AS (
+  SELECT doc_id, text, lang, source, v
+  FROM documents, (SELECT unnest(generate_series(0, 2)) AS v) versions
+  WHERE v <= doc_id % 3
+),
+changes AS (
+  SELECT
+    CASE WHEN v > 0 AND (doc_id + v) % 5 = 0 THEN 'D'
+         WHEN v = 0 THEN 'I' ELSE 'U' END AS op,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    TIMESTAMP '2024-01-01 00:00:00' + (v*3600 + doc_id % 60) * INTERVAL 1 SECOND AS warc_ts,
+    doc_id * 3 + (CASE WHEN doc_id % 7 = 0 THEN (doc_id % 3) - v ELSE v END) AS seq,
+    lang AS p_lang,
+    text || ' v' || v AS p_text
+  FROM exploded
+),
+mirrors AS (
+  SELECT 'I' AS op,
+         'https://mirror.example.com/doc/' || doc_id AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + (36000 + doc_id % 60) * INTERVAL 1 SECOND AS warc_ts,
+         (SELECT 3*count(*) FROM documents) + doc_id*3 AS seq,
+         lang AS p_lang,
+         text || CASE WHEN doc_id % 9 = 0 THEN ' v0' ELSE ' m0' END AS p_text
+  FROM documents WHERE doc_id % 9 IN (0, 3)
+),
+stream AS (SELECT * FROM changes UNION ALL SELECT * FROM mirrors),
+epochs AS (
+  SELECT *, seq // (SELECT 3 * count(*) // {N_EPOCHS} + 1 FROM documents) AS epoch
+  FROM stream
+),
+winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url, epoch ORDER BY warc_ts DESC, seq DESC) AS rn
+    FROM epochs) WHERE rn = 1
+),
+ups AS (SELECT *, {str_fold_sql('p_text')} AS fp FROM winners WHERE op <> 'D'),
+admitted AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY epoch ASC, warc_ts ASC, seq ASC, url ASC) AS rf
+    FROM ups) WHERE rf = 1
+),
+survivors AS (
+  SELECT op, url, warc_ts, seq, p_lang, p_text FROM admitted
+  UNION ALL
+  SELECT op, url, warc_ts, seq, p_lang, p_text FROM winners WHERE op = 'D'
+),
+final AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn2
+  FROM survivors
+)
+SELECT url, warc_ts, seq, p_lang AS lang, p_text AS text
+FROM final WHERE rn2 = 1 AND op <> 'D'
+"""
 
 
 ASOF_EPOCH = 1  # mid-replay epoch the time-travel query reads back to
@@ -1235,12 +1363,97 @@ FROM j WHERE o_seg IS DISTINCT FROM n_seg
 }
 
 
+# -- chunked checksum + aggregate fingerprints (operators/checksum.py) --------
+
+CHECKSUM_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+CHECKSUM_CHUNKS = 64
+AGG_COLS = ["c_acctbal", "c_nationkey"]  # numeric: min/max/sum defined
+
+
+def val_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pt-table-checksum-shaped first pass: order-independent per-chunk
+    digests on each side (one column-pruned scan + map-side-combinable
+    aggregate each), joined over n_chunks summary rows — the cheap way to
+    locate WHERE a 100-TB migration diverged before running the exact
+    cell-level differ on just those chunks."""
+    from data_migration_validation_spark.operators.checksum import checksum_diff
+
+    return checksum_diff(
+        old_customers(spark, sf_dir),
+        new_customers(spark, sf_dir),
+        "c_custkey",
+        CHECKSUM_COLS,
+        n_chunks=CHECKSUM_CHUNKS,
+    )
+
+
+def val_agg_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column aggregate fingerprints (rows/nulls/min/max/sum) old vs
+    new, melted to one comparable row per (column, metric) — the sanity
+    sweep a migration sign-off reads before anything row-level."""
+    from data_migration_validation_spark.operators.checksum import aggregate_compare
+
+    return aggregate_compare(
+        old_customers(spark, sf_dir), new_customers(spark, sf_dir), AGG_COLS
+    )
+
+
+def _checksum_sql() -> str:
+    from data_migration_validation_spark.operators.checksum import NULL_SENTINEL
+
+    rendered = " || '|' || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), '{NULL_SENTINEL}')" for c in CHECKSUM_COLS
+    )
+    digest = f"CAST(('0x' || substr(md5({rendered}), 1, 8)) AS BIGINT)"
+    side = (
+        f"SELECT c_custkey % {CHECKSUM_CHUNKS} AS chunk, count(*) AS n_rows, "
+        f"sum({digest}) AS checksum FROM {{snap}} GROUP BY 1"
+    )
+    return f"""{SNAPSHOT_CTES}
+, o AS ({side.format(snap='old_snap')}),
+n AS ({side.format(snap='new_snap')})
+SELECT COALESCE(o.chunk, n.chunk) AS chunk,
+       o.n_rows AS old_rows, o.checksum AS old_checksum,
+       n.n_rows AS new_rows, n.checksum AS new_checksum
+FROM o FULL OUTER JOIN n ON o.chunk = n.chunk
+WHERE NOT (o.n_rows IS NOT DISTINCT FROM n.n_rows
+           AND o.checksum IS NOT DISTINCT FROM n.checksum)
+"""
+
+
+def _agg_compare_sql() -> str:
+    rows = [
+        "SELECT '*' AS col_name, 'rows' AS metric, "
+        "(SELECT CAST(count(*) AS VARCHAR) FROM old_snap) AS old_value, "
+        "(SELECT CAST(count(*) AS VARCHAR) FROM new_snap) AS new_value"
+    ]
+    for c in AGG_COLS:
+        for metric, expr in [
+            ("nulls", f"count(*) - count({c})"),
+            ("min", f"min({c})"),
+            ("max", f"max({c})"),
+            ("sum", f"sum({c})"),
+        ]:
+            rows.append(
+                f"SELECT '{c}', '{metric}', "
+                f"(SELECT CAST({expr} AS VARCHAR) FROM old_snap), "
+                f"(SELECT CAST({expr} AS VARCHAR) FROM new_snap)"
+            )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""{SNAPSHOT_CTES}
+SELECT col_name, metric, old_value, new_value,
+       (old_value IS NOT DISTINCT FROM new_value) AS equal
+FROM ({union})
+"""
+
+
 from data_migration_validation_spark.queries_corpus import CORPUS_REGISTRY  # noqa: E402
 
 REGISTRY: dict[str, tuple] = {
     **CORPUS_REGISTRY,
     "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
     "cdc_final_state_audited": (cdc_final_state_audited, cdc_final_state_oracle()),
+    "cdc_novel_state": (cdc_novel_state, cdc_novel_state_oracle()),
     "cdc_state_asof": (cdc_state_asof, cdc_state_asof_oracle()),
     "cdc_changes": (cdc_changes, cdc_changes_oracle()),
     "cdc_envelope_parse": (cdc_envelope_parse, cdc_envelope_parse_oracle()),
@@ -1265,5 +1478,7 @@ REGISTRY: dict[str, tuple] = {
     "val_signoff": (val_signoff, _VAL_ORACLES["val_signoff"]),
     "val_proof_topk": (val_proof_topk, _VAL_ORACLES["val_proof_topk"]),
     "val_check_summary": (val_check_summary, _VAL_ORACLES["val_check_summary"]),
+    "val_table_checksum": (val_table_checksum, _checksum_sql()),
+    "val_agg_compare": (val_agg_compare, _agg_compare_sql()),
     "reconcile_cogroup": (reconcile_cogroup, _VAL_ORACLES["reconcile_cogroup"]),
 }

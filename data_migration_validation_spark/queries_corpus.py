@@ -716,6 +716,178 @@ FROM documents
 """
 
 
+# -- PII scrubbing -----------------------------------------------------------
+#
+# The driver's documents are clean word salad, so PII is SEEDED as a pure
+# function of doc_id (same trick as the dedup corpus): both engines append
+# identical emails/phones, then both must count and redact them identically.
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    k = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                k % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), k.cast("string"), F.lit("@example.com for details")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 11 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((k % 10_000).cast("string"), 4, "0"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: per-doc match counts
+    and the scrubbed text. Scan-only projection — JVM regex in
+    whole-stage codegen, no shuffle, no UDF; at 100 TB throughput is the
+    parquet read."""
+    from data_migration_validation_spark.functions.text import (
+        EMAIL_RE,
+        PHONE_RE,
+        pii_count,
+        scrub_pii,
+    )
+
+    d = _pii_docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        pii_count(F.col("text"), EMAIL_RE).alias("n_emails"),
+        pii_count(F.col("text"), PHONE_RE).alias("n_phones"),
+        scrub_pii(F.col("text")).alias("scrubbed"),
+    )
+
+
+def _pii_sql() -> str:
+    from data_migration_validation_spark.functions.text import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    return f"""
+WITH pii_docs AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IPV4_RE}', '<IPV4>', 'g') AS scrubbed
+FROM pii_docs
+"""
+
+
+# -- benchmark contamination ---------------------------------------------------
+
+BM_MOD = 89  # every 89th doc donates an 8-word snippet to the "benchmark"
+CONTAM_N = 5  # n-gram width for overlap (GPT-3 used 13; 5 fits synthetic docs)
+
+
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: corpus docs sharing any 5-gram with a small
+    benchmark set (snippets seeded from every 89th doc, so both engines
+    derive the identical benchmark). Benchmark grams broadcast; the
+    corpus shuffles only (doc_id, gram) pairs that survive the join."""
+    from data_migration_validation_spark.functions.text import tokens
+    from data_migration_validation_spark.operators.contamination import (
+        contaminated_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bm = docs.where(F.col("doc_id") % BM_MOD == 0).select(
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 3, 8)).alias("text")
+    )
+    return contaminated_docs(docs, bm, "doc_id", "text", n=CONTAM_N)
+
+
+_GRAMS_OF_WS = (
+    "list_transform(generate_series(1, greatest(len(ws) - {nm1}, 0)), "
+    "i -> array_to_string(ws[i:i+{nm1}], ' '))"
+).format(nm1=CONTAM_N - 1)
+
+CORPUS_CONTAM_SQL = f"""
+WITH bm AS (
+  SELECT array_to_string(({H.tokens_sql('text')})[3:10], ' ') AS snip
+  FROM documents WHERE doc_id % {BM_MOD} = 0
+),
+bmg AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest({_GRAMS_OF_WS}) AS gram
+    FROM (SELECT string_split(snip, ' ') AS ws FROM bm))
+),
+dg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_GRAMS_OF_WS}) AS gram
+    FROM (SELECT doc_id, {H.tokens_sql('text')} AS ws FROM documents))
+)
+SELECT doc_id, count(*) AS n_hits
+FROM dg JOIN bmg USING (gram)
+GROUP BY doc_id
+"""
+
+
+# -- repetition quality (Gopher rules) ----------------------------------------
+
+
+def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per doc (dup-word fraction as a
+    scan expression; top-bigram fraction via two-phase hash aggregate)
+    with the repetitious flag at the module's default thresholds."""
+    from data_migration_validation_spark.operators.quality import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return repetition_stats(docs)
+
+
+def _repetition_sql() -> str:
+    from data_migration_validation_spark.operators.quality import (
+        DUP_WORD_T,
+        TOP_BIGRAM_T,
+    )
+
+    return f"""
+WITH t AS (SELECT doc_id, {H.tokens_sql('text')} AS ws FROM documents),
+base AS (
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6) AS dup_word_frac,
+         list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                        i -> ws[i] || ' ' || ws[i+1]) AS bigrams
+  FROM t WHERE len(ws) >= 2),
+cnt AS (
+  SELECT doc_id, any_value(dup_word_frac) AS dup_word_frac, gram, count(*) AS c
+  FROM (SELECT doc_id, dup_word_frac, unnest(bigrams) AS gram FROM base)
+  GROUP BY doc_id, gram),
+per AS (
+  SELECT doc_id, any_value(dup_word_frac) AS dup_word_frac,
+         round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, dup_word_frac, top_bigram_frac,
+       (dup_word_frac > {DUP_WORD_T} OR top_bigram_frac > {TOP_BIGRAM_T}) AS repetitious
+FROM per
+"""
+
+
 CORPUS_REGISTRY: dict[str, tuple] = {
     "media_decode_stats": (media_decode_stats, MEDIA_DECODE_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
@@ -732,6 +904,9 @@ CORPUS_REGISTRY: dict[str, tuple] = {
     "corpus_bigram_topk": (corpus_bigram_topk, CORPUS_BIGRAM_SQL),
     "corpus_sample_stratified": (corpus_sample_stratified, _corpus_sample_sql()),
     "corpus_clean_pipeline": (corpus_clean_pipeline, _corpus_clean_sql()),
+    "corpus_pii_scrub": (corpus_pii_scrub, _pii_sql()),
+    "corpus_contamination": (corpus_contamination, CORPUS_CONTAM_SQL),
+    "corpus_repetition": (corpus_repetition, _repetition_sql()),
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
