@@ -84,6 +84,10 @@ class ApplyStats:
     # audit_violations carries the nonzero check counts.
     rejected: bool = False
     audit_violations: dict | None = None
+    # content-novelty filter (plans/novelty.py): upsert winners dropped
+    # because their text fingerprint was seen in an earlier epoch (or
+    # earlier in this one). 0 when the filter is off.
+    novelty_dropped: int = 0
 
 
 class CDCApplyEngine:
@@ -103,6 +107,9 @@ class CDCApplyEngine:
         quarantine: bool = True,
         text_extract: str = "arrow",
         store=None,
+        novelty_filter: bool = False,
+        novelty_buckets: int = 16,
+        novelty_bloom_bits: int = 1 << 23,
     ):
         """``in_batch_prededup``: add a key-hash pre-shuffle that dedups the
         batch BEFORE text extraction and the merge. Worth it for backfill /
@@ -136,7 +143,13 @@ class CDCApplyEngine:
         WRITE only runs for epochs that actually have violations, into an
         epoch-keyed directory (idempotent under crash-replay). Reasons in
         generation order: nothing downstream of the envelope can be
-        trusted for a row that fails it, so one reason per row suffices."""
+        trusted for a row that fails it, so one reason per row suffices.
+
+        ``novelty_filter``: drop upsert winners whose extracted TEXT was
+        already ingested in an earlier epoch (content dedup at ingest —
+        bloom pre-pass + fingerprint-index exact check, plans/novelty.py).
+        Deletes always pass through. Requires merge_mode="mor" (admission
+        semantics are defined over per-epoch LWW winners)."""
         if merge_mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
         if text_extract not in ("arrow", "expr"):
@@ -167,6 +180,18 @@ class CDCApplyEngine:
         # Python worker pool in the apply hot path.
         self.text_extract = text_extract
         self.quarantine_dir = os.path.join(table_path, "_quarantine")
+        if novelty_filter and merge_mode != "mor":
+            raise ValueError("novelty_filter requires merge_mode='mor'")
+        if novelty_filter:
+            from data_migration_validation_spark.plans.novelty import NoveltyFilter
+
+            self.novelty: NoveltyFilter | None = NoveltyFilter(
+                os.path.join(table_path, "_novelty"),
+                n_buckets=novelty_buckets,
+                bloom_bits=novelty_bloom_bits,
+            )
+        else:
+            self.novelty = None
         self.registry = SchemaRegistry()
         snap = self.lake.current_snapshot()
         if snap is not None:
@@ -260,6 +285,7 @@ class CDCApplyEngine:
         )
         n_quarantined = sum(r["applied_events"] for r in scan_rows if r[BUCKET_COL] == -1)
         n_late_dropped = sum(r["applied_events"] for r in scan_rows if r[BUCKET_COL] == -2)
+        novelty_dropped = 0  # set by the novelty filter in the mor branch
         # quarantine=False preserves the legacy failure mode: a malformed
         # row's null bucket stays in the lineage and the commit's
         # stray-bucket invariant rejects it loudly
@@ -356,11 +382,30 @@ class CDCApplyEngine:
                 )
             src = src.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
             winners = lww_window_bucketed(
-                src, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
+                src,
+                key=key,
+                order=("warc_ts", "seq"),
+                bucket_col=BUCKET_COL,
+                num_partitions=self.lake.num_buckets,
             )
             if has_html:
                 winners = winners.withColumn("text", self._extract(F.col("html")))
                 winners = self._enrich(winners)
+            if self.novelty is not None:
+                if "text" not in winners.columns:
+                    raise ValueError(
+                        "novelty_filter needs an extracted 'text' column "
+                        "(events must carry payload.html)"
+                    )
+                winners, nstats = self.novelty.admit(
+                    self.spark,
+                    winners,
+                    epoch,
+                    set(self.lake.epochs_applied()),
+                    text_col="text",
+                    key_col=key,
+                )
+                novelty_dropped = nstats.dropped
             target = self.registry.merge(winners.drop(BUCKET_COL).schema)
             merged = conform(winners, target).withColumn(
                 BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
@@ -407,7 +452,11 @@ class CDCApplyEngine:
             # 6. dedup + upsert in ONE window over the bucket shuffle (which
             # is also the write partitioning)
             merged = lww_window_bucketed(
-                merged, key=key, order=("warc_ts", "seq"), bucket_col=BUCKET_COL
+                merged,
+                key=key,
+                order=("warc_ts", "seq"),
+                bucket_col=BUCKET_COL,
+                num_partitions=self.lake.num_buckets,
             )
             commit_mode = "rewrite"
 
@@ -565,6 +614,8 @@ class CDCApplyEngine:
                     ]
                 )
 
+        if self.novelty is not None:
+            self.novelty.release()
         return ApplyStats(
             epoch=epoch,
             skipped=not committed,
@@ -573,6 +624,7 @@ class CDCApplyEngine:
             buckets_touched=len(touched),
             seconds=time.monotonic() - t0,
             quarantined=int(n_quarantined),
+            novelty_dropped=int(novelty_dropped),
         )
 
     def _attach_inline_audit(self, df, audit):

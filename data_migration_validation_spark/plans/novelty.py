@@ -1,0 +1,369 @@
+"""Ingest-time content-novelty filter: drop documents whose TEXT was seen
+in any earlier epoch (or earlier in this epoch), before they ever land in
+the lake.
+
+The classic corpus-dedup crossover for CDC ingest: crawls re-discover the
+same page under new URLs and re-deliver unchanged pages as updates; a
+training-data lake wants each distinct content exactly once. Filtering at
+read time would re-pay the dedup on every consumer — filtering at ingest
+pays it once, on the epoch, never on the table.
+
+Scale design (the part that matters at 100 TB):
+
+* **Fingerprint index, partitioned by fingerprint bucket**: admitted
+  fingerprints append to ``_novelty/index/epoch=E/_fpb=B/`` — two 8-byte
+  columns, epoch-idempotent (overwrite), bucket-partitioned so the exact
+  check can prune. The index is O(distinct admitted docs), not O(events).
+* **Bloom pre-pass**: one bloom per fingerprint bucket (default 16 ×
+  1 MiB bits = 2 MiB total), broadcast to executors; a vectorized Arrow
+  UDF tests the epoch's candidates. Bloom MISSES — the overwhelming
+  majority of novel traffic — are admitted with NO join at all; only
+  bloom hits (true dups + the false-positive rate) do the exact
+  anti-join against the index. The join carries (hits + index rows), a
+  sliver of either table, and joins on (_fpb, _fp) so the partition
+  column is in the join key (dynamic partition pruning eligible).
+* **Bounded driver traffic**: bloom updates never collect fingerprints.
+  Each epoch's admitted rows fold into per-bucket bitmaps DISTRIBUTEDLY
+  (``applyInPandas`` emits one (bucket, bitmap) row per bucket — size
+  bounded by the bloom, not the epoch) and the driver ORs them into the
+  stored blooms.
+
+Crash-safety contract (shares the lake's idempotent-epoch discipline):
+
+* Bloom bits are a SUPERSET cache: extra bits (from a crashed/rejected
+  attempt) only cause extra exact checks, never false drops. Blooms are
+  rebuildable from the index (``rebuild_blooms``).
+* Index partitions are only TRUSTED for epochs the LAKE committed: the
+  exact check filters ``epoch ∈ lake-committed epochs``, so a crash
+  between index write and table commit cannot make a later epoch drop
+  content the table never received. Replays overwrite their epoch's
+  index partition with identical (deterministic) content.
+
+Admission semantics (mirrored exactly by the ``cdc_novel_state`` DuckDB
+oracle): over each epoch's LWW winners, an upsert is admitted iff its
+text fingerprint's globally FIRST occurrence — ordered by (epoch,
+*order_cols, key) — is this row. Deletes always pass through: novelty
+gates content, not tombstones. A re-upsert of identical text is dropped
+even if the original URL was deleted since ("seen-ever" semantics — the
+index is append-only).
+"""
+
+# NOTE: no `from __future__ import annotations` here — it stringifies the
+# pandas_udf type hints, which pyspark's hint parser cannot resolve
+# ("Unsupported signature: (fp: 'pd.Series', ...)"). Python 3.9+ builtin
+# generics work at runtime without it.
+import base64
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_migration_validation_spark.functions.hashing import str_fold
+from data_migration_validation_spark.plans.commit_store import (
+    CommitStore,
+    PosixCommitStore,
+)
+
+FP_COL = "_fp"
+FPB_COL = "_fpb"
+
+# splitmix64 finalizer constants — k probe positions per fingerprint are
+# (h1 + i*h2) mod bits, the standard double-hashing bloom construction
+_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    h = x.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= _C1
+    h ^= h >> np.uint64(27)
+    h *= _C2
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _positions(fps: np.ndarray, bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions for each fingerprint."""
+    h1 = _mix(fps)
+    h2 = _mix(fps + np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    return np.stack(
+        [(h1 + np.uint64(i) * h2) % np.uint64(bits) for i in range(k)]
+    )
+
+
+def _test_bits(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """All-k-bits-set membership over a packed uint8 bitmap."""
+    hit = np.ones(pos.shape[1], dtype=bool)
+    for i in range(pos.shape[0]):
+        p = pos[i]
+        hit &= (bitmap[(p >> np.uint64(3)).astype(np.int64)]
+                & (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8))) != 0
+    return hit
+
+
+def _set_bits(bitmap: np.ndarray, pos: np.ndarray) -> None:
+    for i in range(pos.shape[0]):
+        p = pos[i]
+        np.bitwise_or.at(
+            bitmap,
+            (p >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)),
+        )
+
+
+@dataclass
+class NoveltyStats:
+    candidates: int  # upsert winners after in-epoch content dedup
+    admitted: int
+    dropped: int  # candidates − admitted (content seen in earlier epochs)
+
+
+class NoveltyFilter:
+    """Per-table novelty state: fingerprint index + per-bucket blooms.
+
+    ``store`` carries the bloom bytes (base64) — the same conditional-
+    write seam as the lake's manifests, so an object-store deployment
+    swaps one implementation. The index is plain Spark parquet.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        n_buckets: int = 16,
+        bloom_bits: int = 1 << 23,  # 1 MiB per bucket
+        bloom_k: int = 4,
+        store: CommitStore | None = None,
+    ):
+        self.root = root
+        self.index_dir = os.path.join(root, "index")
+        self.n_buckets = n_buckets
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
+        self.store = store or PosixCommitStore(os.path.join(root, "blooms"))
+
+    # -- bloom persistence ----------------------------------------------------
+
+    def _load_blooms(self) -> dict[int, np.ndarray]:
+        out: dict[int, np.ndarray] = {}
+        for b in range(self.n_buckets):
+            raw = self.store.read(f"fpb{b}")
+            if raw is not None:
+                out[b] = np.frombuffer(
+                    base64.b64decode(raw), dtype=np.uint8
+                ).copy()
+        return out
+
+    def _save_bloom(self, b: int, bitmap: np.ndarray) -> None:
+        self.store.write(f"fpb{b}", base64.b64encode(bitmap.tobytes()).decode())
+
+    # -- admission --------------------------------------------------------------
+
+    def admit(
+        self,
+        spark: SparkSession,
+        winners: DataFrame,
+        epoch: int,
+        committed_epochs: set[int],
+        text_col: str = "text",
+        key_col: str = "url",
+        order_cols: tuple[str, ...] = ("warc_ts", "seq"),
+        deleted_col: str = "deleted",
+    ) -> tuple[DataFrame, NoveltyStats]:
+        """Filter an epoch's LWW winners down to novel content (+ all
+        deletes), record the admitted fingerprints, and return the
+        filtered winners. Runs two small jobs of its own (index append,
+        bloom-partial collect); the returned plan is consumed by the
+        caller's commit."""
+        self.release()  # previous epoch's cache, if the caller forgot
+        dels = winners.where(F.col(deleted_col))
+        ups = (
+            winners.where(~F.col(deleted_col))
+            .withColumn(FP_COL, str_fold(F.col(text_col)))
+            .withColumn(
+                FPB_COL, F.pmod(F.col(FP_COL), F.lit(self.n_buckets)).cast("int")
+            )
+        )
+        # in-epoch first occurrence per content fingerprint — TAGGED, not
+        # filtered, so the candidate count still sees in-epoch dups
+        w = Window.partitionBy(FP_COL).orderBy(
+            *[F.col(c).asc() for c in order_cols], F.col(key_col).asc()
+        )
+        tagged = ups.withColumn("_rn", F.row_number().over(w)).persist()
+        firsts = tagged.where(F.col("_rn") == 1).drop("_rn")
+
+        blooms = self._load_blooms()
+        idx = self._read_index(spark, committed_epochs)
+        if idx is None:
+            # no committed history → everything surviving the in-epoch
+            # dedup is novel
+            novel = firsts
+        elif blooms:
+            maybe = self._bloom_hit_udf(spark, blooms)
+            flagged = firsts.withColumn("_maybe", maybe(FP_COL, FPB_COL))
+            miss = flagged.where(~F.col("_maybe")).drop("_maybe")
+            hits = flagged.where(F.col("_maybe")).drop("_maybe")
+            # join on (_fpb, _fp): the partition column rides the join
+            # key, so the scan of the (big) index side is DPP-eligible
+            hits = hits.join(idx, [FPB_COL, FP_COL], "left_anti")
+            novel = miss.unionByName(hits).persist()
+        else:
+            # bloom storage lost/absent but history exists: degrade to the
+            # exact check on EVERYTHING — never to admitting blindly
+            novel = firsts.join(idx, [FPB_COL, FP_COL], "left_anti").persist()
+
+        # 1. index append (epoch-idempotent overwrite; trusted only once
+        #    the lake commits this epoch)
+        (
+            novel.select(FP_COL, FPB_COL)
+            .write.mode("overwrite")
+            .partitionBy(FPB_COL)
+            .parquet(os.path.join(self.index_dir, f"epoch={epoch}"))
+        )
+        # 2. bloom update: distributed per-bucket bitmap partials, driver
+        #    ORs fixed-size bitmaps (never row data)
+        self._update_blooms(novel, blooms)
+
+        n_cand = tagged.count()  # all upsert winners, in-epoch dups included
+        n_admitted = novel.count()
+        admitted = novel.drop(FP_COL, FPB_COL)
+        # the returned plan references the persisted frames; the engine
+        # calls release() once its commit has consumed them
+        self._held = [tagged] + ([novel] if novel is not firsts else [])
+        return dels.unionByName(admitted), NoveltyStats(
+            candidates=n_cand, admitted=n_admitted, dropped=n_cand - n_admitted
+        )
+
+    def release(self) -> None:
+        """Unpersist the previous admit()'s cached plans (call after the
+        epoch's commit) — keeps a long replay's executor storage flat."""
+        for df in getattr(self, "_held", None) or []:
+            df.unpersist()
+        self._held = []
+
+    # -- internals --------------------------------------------------------------
+
+    def _index_has_data(self) -> bool:
+        """Any parquet file at index/epoch=*/_fpb=*/ — guards against an
+        all-deletes first epoch, whose index write leaves only _SUCCESS
+        (an empty-dir read cannot infer a schema). Routed through the
+        driver data-FS seam like the lake's own listings."""
+        from data_migration_validation_spark.fsio import LOCAL
+
+        for edir in LOCAL.list_dirs(self.index_dir):
+            for bdir in LOCAL.list_dirs(edir):
+                if any(f.endswith(".parquet") for f in LOCAL.list_files(bdir)):
+                    return True
+        return False
+
+    def _read_index(
+        self, spark: SparkSession, committed_epochs: set[int]
+    ) -> DataFrame | None:
+        if not committed_epochs or not self._index_has_data():
+            return None
+        idx = spark.read.parquet(self.index_dir)
+        # literal IN-list on the epoch partition column: orphan partitions
+        # from crashed/rejected attempts are invisible by construction
+        return idx.where(
+            F.col("epoch").isin([int(e) for e in committed_epochs])
+        ).select(FPB_COL, FP_COL)
+
+    def _bloom_hit_udf(self, spark: SparkSession, blooms: dict[int, np.ndarray]):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        bits, k = self.bloom_bits, self.bloom_k
+        packed = {b: bm.tobytes() for b, bm in blooms.items()}
+        bc = spark.sparkContext.broadcast(packed)
+
+        @pandas_udf("boolean")
+        def hit(fp: pd.Series, fpb: pd.Series) -> pd.Series:
+            fps = fp.to_numpy(dtype=np.int64).astype(np.uint64)
+            buckets = fpb.to_numpy(dtype=np.int64)
+            # absent bloom defaults to HIT: a lost bloom file must force
+            # the exact check, never skip it (false drops are impossible;
+            # false admits would be)
+            out = np.ones(len(fps), dtype=bool)
+            maps = bc.value
+            for b in np.unique(buckets):
+                raw = maps.get(int(b))
+                if raw is None:
+                    continue
+                mask = buckets == b
+                pos = _positions(fps[mask], bits, k)
+                out[mask] = _test_bits(np.frombuffer(raw, dtype=np.uint8), pos)
+            return pd.Series(out)
+
+        return hit
+
+    def _update_blooms(
+        self, novel: DataFrame, blooms: dict[int, np.ndarray]
+    ) -> None:
+        bits, k = self.bloom_bits, self.bloom_k
+        nbytes = bits // 8
+
+        def fold(pdf):
+            import pandas as pd
+
+            bm = np.zeros(nbytes, dtype=np.uint8)
+            fps = pdf[FP_COL].to_numpy(dtype=np.int64).astype(np.uint64)
+            _set_bits(bm, _positions(fps, bits, k))
+            return pd.DataFrame(
+                {"b": [int(pdf[FPB_COL].iloc[0])], "bm": [bm.tobytes()]}
+            )
+
+        partials = (
+            novel.select(FP_COL, FPB_COL)
+            .groupBy(FPB_COL)
+            .applyInPandas(fold, "b int, bm binary")
+            .collect()
+        )
+        for row in partials:
+            b = row["b"]
+            cur = blooms.get(b)
+            add = np.frombuffer(row["bm"], dtype=np.uint8)
+            merged = add if cur is None else (cur | add)
+            self._save_bloom(b, merged)
+        # buckets with no admitted rows this epoch keep their stored bloom
+
+    def vacuum_orphans(self, committed_epochs: set[int]) -> list[int]:
+        """Delete index partitions for epochs the lake never committed and
+        that sit BELOW the committed head — i.e. crashed or rejected
+        attempts whose replay has already been superseded. Epochs at or
+        above the head are left alone (one may belong to an apply in
+        flight). Orphans are invisible to reads either way (the committed-
+        epochs filter); this reclaims their storage."""
+        import shutil
+
+        from data_migration_validation_spark.fsio import LOCAL
+
+        if not committed_epochs:
+            return []
+        head = max(committed_epochs)
+        removed: list[int] = []
+        for edir in LOCAL.list_dirs(self.index_dir):
+            name = os.path.basename(edir)
+            if not name.startswith("epoch="):
+                continue
+            try:
+                e = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if e < head and e not in committed_epochs:
+                shutil.rmtree(edir, ignore_errors=True)
+                removed.append(e)
+        return sorted(removed)
+
+    def rebuild_blooms(self, spark: SparkSession, committed_epochs: set[int]) -> int:
+        """Recompute every bloom from the committed index — the recovery
+        path if bloom storage is lost (safe to skip: lost blooms only
+        mean the next epochs exact-check everything)."""
+        idx = self._read_index(spark, committed_epochs)
+        if idx is None:
+            return 0
+        # fresh bitmaps: _update_blooms merges against the passed dict, so
+        # an empty one makes the save an overwrite, not an OR
+        self._update_blooms(idx, {})
+        return self.n_buckets

@@ -77,6 +77,7 @@ def cmd_apply(args: argparse.Namespace) -> int:
         merge_mode=args.merge_mode,
         compact_every=args.compact_every or None,
         enrich_text=args.enrich,
+        novelty_filter=args.novelty,
     )
     lo, hi = log.agg(F.min("batch_epoch"), F.max("batch_epoch")).collect()[0]
     if lo is None:
@@ -113,6 +114,8 @@ def cmd_apply(args: argparse.Namespace) -> int:
             "buckets_touched": st.buckets_touched,
             "seconds": round(st.seconds, 3),
         }
+        if args.novelty:
+            out["novelty_dropped"] = st.novelty_dropped
         if st.rejected:
             out["rejected"] = True
             out["audit_violations"] = st.audit_violations
@@ -212,7 +215,18 @@ def cmd_events(args: argparse.Namespace) -> int:
 def cmd_vacuum(args: argparse.Namespace) -> int:
     from data_migration_validation_spark.plans.lake import LakeTable
 
-    out = LakeTable(args.table).vacuum(min_age_seconds=args.min_age_seconds)
+    lake = LakeTable(args.table)
+    out = lake.vacuum(min_age_seconds=args.min_age_seconds)
+    # tables ingested with --novelty: sweep index partitions orphaned by
+    # crashed/rejected attempts (invisible to reads, but they hold bytes)
+    novelty_root = os.path.join(args.table, "_novelty")
+    if os.path.isdir(novelty_root):
+        from data_migration_validation_spark.plans.novelty import NoveltyFilter
+
+        orphans = NoveltyFilter(novelty_root).vacuum_orphans(
+            set(lake.epochs_applied())
+        )
+        out["novelty_orphan_epochs_removed"] = orphans
     print(json.dumps({"command": "vacuum", **out}))
     return 0
 
@@ -638,6 +652,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="ingest-time text analysis: store lang_guess/quality/"
         "fingerprint per page alongside the extracted text",
+    )
+    a.add_argument(
+        "--novelty",
+        action="store_true",
+        help="content-novelty filter: drop upserts whose extracted text "
+        "was already ingested in an earlier epoch (bloom pre-pass + "
+        "fingerprint-index exact check; deletes pass through)",
     )
     a.set_defaults(fn=cmd_apply)
 
