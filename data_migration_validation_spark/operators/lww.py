@@ -50,6 +50,7 @@ def lww_window_bucketed(
     key: str,
     order: Iterable[str],
     bucket_col: str,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """LWW winner per key with the shuffle keyed on ``bucket_col`` instead
     of the key. Because bucket = f(key), all rows of a key land in one
@@ -60,7 +61,20 @@ def lww_window_bucketed(
     LWW shuffle on the bucket means the dedup shuffle IS the write
     partitioning, one shuffle instead of two (dedup-by-key + repartition-
     by-bucket). At 1e10 events that's half the shuffle volume of the merge.
+
+    ``num_partitions`` (pass the table's bucket count) PINS the exchange
+    via an explicit repartition, which AQE will not coalesce. Without it,
+    AQE's parallelism-first coalescing fuses this CPU-fat stage into
+    ~#cores giant tasks (web text compresses 10-20×, so the compressed-
+    byte targets it reasons over are tiny): measured 5 tasks × ~250 MB
+    uncompressed at local[4], i.e. wave quantization + a straggler tail
+    that capped 1→4 core scaling at ~0.6. Pinned at the bucket count, the
+    job shape is a table property, independent of cluster width — the
+    window's required distribution is satisfied by the repartition, so
+    it is still exactly ONE shuffle.
     """
+    if num_partitions is not None:
+        df = df.repartition(num_partitions, F.col(bucket_col))
     ordering = [F.col(key).asc()] + [F.col(c).desc() for c in order]
     w = Window.partitionBy(bucket_col).orderBy(*ordering)
     return (

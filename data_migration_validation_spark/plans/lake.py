@@ -579,7 +579,11 @@ class LakeTable:
         order_cols = tuple(props.get("order_cols", self.order_cols))
         out = out.withColumn(BUCKET_COL, bucket_expr(F.col(key_col), num_buckets))
         return lww_window_bucketed(
-            out, key=key_col, order=order_cols, bucket_col=BUCKET_COL
+            out,
+            key=key_col,
+            order=order_cols,
+            bucket_col=BUCKET_COL,
+            num_partitions=num_buckets,
         ).drop(BUCKET_COL)
 
     # -- point lookup ---------------------------------------------------------
@@ -900,61 +904,83 @@ class LakeTable:
         new_ts_stats: dict[str, list] = {}
         try:
             import datetime as _dtmod
+            from concurrent.futures import ThreadPoolExecutor
 
             ts_col = self.order_cols[0] if self.order_cols else None
-            for files in new_by_bucket.values():
-                for fp in files:
-                    md = self.data_fs.parquet_metadata(fp)
-                    rows_written += md.num_rows
-                    # per-file [min, max] bounds from the SAME footer read
-                    # as the row count — no extra IO (Iceberg lower/upper
-                    # bounds): the key column for point-lookup file
-                    # skipping, and the order timestamp for event-time
-                    # range pruning. Missing/odd-typed stats just leave
-                    # the file un-prunable.
+            all_files = [fp for files in new_by_bucket.values() for fp in files]
+
+            def _footer(fp: str):
+                # per-file [min, max] bounds from the SAME footer read
+                # as the row count — no extra IO (Iceberg lower/upper
+                # bounds): the key column for point-lookup file
+                # skipping, and the order timestamp for event-time
+                # range pruning. Missing/odd-typed stats just leave
+                # the file un-prunable.
+                md = self.data_fs.parquet_metadata(fp)
+                key_b = ts_b = None
+                try:
+                    names = [md.schema.column(i).name for i in range(md.num_columns)]
+
+                    def _bounds(col: str):
+                        j = names.index(col)
+                        mins, maxs = [], []
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(j).statistics
+                            if st is None or not st.has_min_max:
+                                raise ValueError("no stats")
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                        if not mins:
+                            raise ValueError("no row groups")
+                        return min(mins), max(maxs)
+
                     try:
-                        names = [md.schema.column(i).name for i in range(md.num_columns)]
-
-                        def _bounds(col: str):
-                            j = names.index(col)
-                            mins, maxs = [], []
-                            for rg in range(md.num_row_groups):
-                                st = md.row_group(rg).column(j).statistics
-                                if st is None or not st.has_min_max:
-                                    raise ValueError("no stats")
-                                mins.append(st.min)
-                                maxs.append(st.max)
-                            if not mins:
-                                raise ValueError("no row groups")
-                            return min(mins), max(maxs)
-
+                        lo, hi = _bounds(self.key_col)
+                        if isinstance(lo, str) and isinstance(hi, str):
+                            key_b = [lo, hi]
+                    except ValueError:
+                        pass
+                    if ts_col is not None:
                         try:
-                            lo, hi = _bounds(self.key_col)
-                            if isinstance(lo, str) and isinstance(hi, str):
-                                new_stats[fp] = [lo, hi]
+                            lo, hi = _bounds(ts_col)
+                            if isinstance(lo, _dtmod.datetime) and isinstance(
+                                hi, _dtmod.datetime
+                            ):
+                                # Record NAIVE UTC: pyarrow returns
+                                # tz-aware datetimes for Spark's
+                                # TIMESTAMP_MICROS (isAdjustedToUTC),
+                                # and a "+00:00" suffix breaks the
+                                # chronological==lexicographic contract
+                                # files_in_time_range relies on.
+                                ts_b = [
+                                    _canon_ts(lo.isoformat(sep=" ")),
+                                    _canon_ts(hi.isoformat(sep=" ")),
+                                ]
                         except ValueError:
                             pass
-                        if ts_col is not None:
-                            try:
-                                lo, hi = _bounds(ts_col)
-                                if isinstance(lo, _dtmod.datetime) and isinstance(
-                                    hi, _dtmod.datetime
-                                ):
-                                    # Record NAIVE UTC: pyarrow returns
-                                    # tz-aware datetimes for Spark's
-                                    # TIMESTAMP_MICROS (isAdjustedToUTC),
-                                    # and a "+00:00" suffix breaks the
-                                    # chronological==lexicographic
-                                    # contract files_in_time_range
-                                    # relies on.
-                                    new_ts_stats[fp] = [
-                                        _canon_ts(lo.isoformat(sep=" ")),
-                                        _canon_ts(hi.isoformat(sep=" ")),
-                                    ]
-                            except ValueError:
-                                pass
-                    except Exception:
-                        pass
+                except Exception:
+                    pass
+                return md.num_rows, key_b, ts_b
+
+            # footer reads are driver-side IO over O(touched files) per
+            # commit; run serially they are the commit's Amdahl term (at
+            # 64 buckets/epoch the loop showed up as a double-digit
+            # serial fraction in the scaling ladder). pyarrow's footer
+            # parse releases the GIL, so a thread pool collapses the
+            # wall time while the per-file work stays unchanged.
+            if all_files:
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(all_files))
+                ) as pool:
+                    results = list(pool.map(_footer, all_files))
+            else:
+                results = []
+            for fp, (n_rows, key_b, ts_b) in zip(all_files, results):
+                rows_written += n_rows
+                if key_b is not None:
+                    new_stats[fp] = key_b
+                if ts_b is not None:
+                    new_ts_stats[fp] = ts_b
         except Exception:
             rows_written = None  # footer stats unavailable; not fatal —
             # callers must treat None as "unknown", never as a count

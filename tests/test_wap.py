@@ -444,7 +444,7 @@ def test_inline_audit_rejects_engine_level_duplicate_break(spark, tmp_path, monk
     eng.apply_epoch(_events(spark, GOOD), 0, audit=audit)  # healthy epoch publishes
 
     monkeypatch.setattr(
-        apply_mod, "lww_window_bucketed", lambda df, key, order, bucket_col: df
+        apply_mod, "lww_window_bucketed", lambda df, key, order, bucket_col, **kw: df
     )
     dup_rows = [
         ("I", "https://a.example.com/9", "2024-01-03 00:00:00", 20 + i,
