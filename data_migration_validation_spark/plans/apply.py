@@ -109,7 +109,7 @@ class CDCApplyEngine:
         store=None,
         novelty_filter: bool = False,
         novelty_buckets: int = 16,
-        novelty_bloom_bits: int = 1 << 23,
+        novelty_bloom_bits: int = 1 << 20,
     ):
         """``in_batch_prededup``: add a key-hash pre-shuffle that dedups the
         batch BEFORE text extraction and the merge. Worth it for backfill /

@@ -60,7 +60,6 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_migration_validation_spark.functions.hashing import str_fold
 from data_migration_validation_spark.plans.commit_store import (
     CommitStore,
     PosixCommitStore,
@@ -133,20 +132,34 @@ class NoveltyFilter:
         self,
         root: str,
         n_buckets: int = 16,
-        bloom_bits: int = 1 << 23,  # 1 MiB per bucket
+        bloom_bits: int = 1 << 20,  # 128 KiB per bucket
         bloom_k: int = 4,
         store: CommitStore | None = None,
     ):
+        """Size ``bloom_bits`` at ~10 bits per expected distinct document
+        PER BUCKET for a ~1% false-positive rate (false positives only
+        cost exact-check traffic). The default (16 buckets × 2^20 bits)
+        carries ~1.7M docs; a billion-doc table wants ~2^30 total bits
+        spread over more buckets. Every per-epoch cost below (store read,
+        broadcast, bitmap collect) is proportional to TOTAL BLOOM BYTES,
+        not to data — oversizing the bloom taxes every epoch, which is
+        why the default is modest and the knob is per-table."""
         self.root = root
         self.index_dir = os.path.join(root, "index")
         self.n_buckets = n_buckets
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
         self.store = store or PosixCommitStore(os.path.join(root, "blooms"))
+        # driver-side cache: one store read per bucket per PROCESS, not
+        # per epoch (writes keep it coherent; multi-writer processes each
+        # converge to supersets, which is safe — see class docstring)
+        self._bloom_cache: dict[int, np.ndarray] | None = None
 
     # -- bloom persistence ----------------------------------------------------
 
     def _load_blooms(self) -> dict[int, np.ndarray]:
+        if self._bloom_cache is not None:
+            return dict(self._bloom_cache)
         out: dict[int, np.ndarray] = {}
         for b in range(self.n_buckets):
             raw = self.store.read(f"fpb{b}")
@@ -154,10 +167,14 @@ class NoveltyFilter:
                 out[b] = np.frombuffer(
                     base64.b64decode(raw), dtype=np.uint8
                 ).copy()
+        self._bloom_cache = dict(out)
         return out
 
     def _save_bloom(self, b: int, bitmap: np.ndarray) -> None:
         self.store.write(f"fpb{b}", base64.b64encode(bitmap.tobytes()).decode())
+        if self._bloom_cache is None:
+            self._bloom_cache = {}
+        self._bloom_cache[b] = bitmap
 
     # -- admission --------------------------------------------------------------
 
@@ -176,26 +193,48 @@ class NoveltyFilter:
         deletes), record the admitted fingerprints, and return the
         filtered winners. Runs two small jobs of its own (index append,
         bloom-partial collect); the returned plan is consumed by the
-        caller's commit."""
+        caller's commit.
+
+        ``winners`` is persisted here (released via :meth:`release`): the
+        epoch plan upstream carries text extraction and the LWW shuffle,
+        and admit + the caller's commit consume it several times — without
+        the cache each action re-extracts the epoch (measured 7× epoch
+        cost). The fingerprint is ``xxhash64`` (whole-stage codegen; a
+        char-fold expression via interpreted HOFs was the dominant cost).
+        Admission semantics are hash-agnostic — any injective-enough
+        deterministic hash yields the same decisions, which is what the
+        cdc_novel_state oracle checks by partitioning on the text itself."""
         self.release()  # previous epoch's cache, if the caller forgot
+        winners = winners.persist()
         dels = winners.where(F.col(deleted_col))
         ups = (
             winners.where(~F.col(deleted_col))
-            .withColumn(FP_COL, str_fold(F.col(text_col)))
+            .withColumn(FP_COL, F.xxhash64(F.col(text_col)))
             .withColumn(
                 FPB_COL, F.pmod(F.col(FP_COL), F.lit(self.n_buckets)).cast("int")
             )
         )
+        from pyspark.sql import Observation
+
         # in-epoch first occurrence per content fingerprint — TAGGED, not
-        # filtered, so the candidate count still sees in-epoch dups
+        # filtered, so the candidate count still sees in-epoch dups.
+        # Counts ride the index-write action as Observations: at epoch
+        # scale every extra Spark job is pure fixed latency, so admit()
+        # schedules exactly TWO of its own (index write, bitmap fold).
         w = Window.partitionBy(FP_COL).orderBy(
             *[F.col(c).asc() for c in order_cols], F.col(key_col).asc()
         )
+        obs_cand, obs_adm = Observation(), Observation()
         tagged = ups.withColumn("_rn", F.row_number().over(w)).persist()
-        firsts = tagged.where(F.col("_rn") == 1).drop("_rn")
+        firsts = (
+            tagged.observe(obs_cand, F.count(F.lit(1)).alias("n"))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
         blooms = self._load_blooms()
         idx = self._read_index(spark, committed_epochs)
+        extra_cached = []
         if idx is None:
             # no committed history → everything surviving the in-epoch
             # dedup is novel
@@ -209,13 +248,16 @@ class NoveltyFilter:
             # key, so the scan of the (big) index side is DPP-eligible
             hits = hits.join(idx, [FPB_COL, FP_COL], "left_anti")
             novel = miss.unionByName(hits).persist()
+            extra_cached = [novel]
         else:
             # bloom storage lost/absent but history exists: degrade to the
             # exact check on EVERYTHING — never to admitting blindly
             novel = firsts.join(idx, [FPB_COL, FP_COL], "left_anti").persist()
+            extra_cached = [novel]
 
+        novel = novel.observe(obs_adm, F.count(F.lit(1)).alias("n"))
         # 1. index append (epoch-idempotent overwrite; trusted only once
-        #    the lake commits this epoch)
+        #    the lake commits this epoch) — also collects both counts
         (
             novel.select(FP_COL, FPB_COL)
             .write.mode("overwrite")
@@ -226,12 +268,12 @@ class NoveltyFilter:
         #    ORs fixed-size bitmaps (never row data)
         self._update_blooms(novel, blooms)
 
-        n_cand = tagged.count()  # all upsert winners, in-epoch dups included
-        n_admitted = novel.count()
+        n_cand = int(obs_cand.get["n"])  # upsert winners incl. in-epoch dups
+        n_admitted = int(obs_adm.get["n"])
         admitted = novel.drop(FP_COL, FPB_COL)
         # the returned plan references the persisted frames; the engine
         # calls release() once its commit has consumed them
-        self._held = [tagged] + ([novel] if novel is not firsts else [])
+        self._held = [winners, tagged] + extra_cached
         return dels.unionByName(admitted), NoveltyStats(
             candidates=n_cand, admitted=n_admitted, dropped=n_cand - n_admitted
         )

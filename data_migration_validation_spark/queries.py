@@ -237,8 +237,9 @@ def cdc_novel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_novel_state_oracle() -> str:
-    from data_migration_validation_spark.functions.hashing import str_fold_sql
-
+    # admission partitions on the TEXT itself — the engine's xxhash64
+    # fingerprint is an equality proxy for it, so any divergence (hash
+    # collision, wrong fingerprint column) shows up as a value mismatch
     return f"""
 WITH exploded AS (
   SELECT doc_id, text, lang, source, v
@@ -275,10 +276,10 @@ winners AS (
     SELECT *, row_number() OVER (PARTITION BY url, epoch ORDER BY warc_ts DESC, seq DESC) AS rn
     FROM epochs) WHERE rn = 1
 ),
-ups AS (SELECT *, {str_fold_sql('p_text')} AS fp FROM winners WHERE op <> 'D'),
+ups AS (SELECT * FROM winners WHERE op <> 'D'),
 admitted AS (
   SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY epoch ASC, warc_ts ASC, seq ASC, url ASC) AS rf
+    SELECT *, row_number() OVER (PARTITION BY p_text ORDER BY epoch ASC, warc_ts ASC, seq ASC, url ASC) AS rf
     FROM ups) WHERE rf = 1
 ),
 survivors AS (

@@ -111,11 +111,9 @@ def test_orphan_index_partition_is_invisible(spark, tmp_path):
     # text "future text" (what admission compares), with NO lake commit
     # for epoch 5
     nov = eng.novelty
-    from data_migration_validation_spark.functions.hashing import str_fold
-
     (
         spark.createDataFrame([("future text",)], "t string")
-        .select(str_fold(F.col("t")).alias("_fp"))
+        .select(F.xxhash64(F.col("t")).alias("_fp"))
         .withColumn("_fpb", F.pmod(F.col("_fp"), F.lit(nov.n_buckets)).cast("int"))
         .write.mode("overwrite")
         .partitionBy("_fpb")
@@ -131,12 +129,15 @@ def test_orphan_index_partition_is_invisible(spark, tmp_path):
 def test_bloom_loss_degrades_to_exact_check(spark, tmp_path):
     eng = _engine(spark, tmp_path)
     eng.apply_epoch(spark.createDataFrame([_ev("I", "u/a", 1, "keepsake")], SCHEMA), 0)
-    # lose every bloom file
+    # lose every bloom file; drop the in-process cache too (a stale cache
+    # is a SUPERSET of the store — safe — but this test emulates a fresh
+    # process discovering the loss)
     for b in range(eng.novelty.n_buckets):
         try:
             eng.novelty.store.delete(f"fpb{b}")
         except Exception:
             pass
+    eng.novelty._bloom_cache = None
     assert eng.novelty._load_blooms() == {}
     st = eng.apply_epoch(
         spark.createDataFrame([_ev("I", "u/b", 9, "keepsake", 1)], SCHEMA), 1
@@ -152,6 +153,7 @@ def test_rebuild_blooms_from_index(spark, tmp_path):
             eng.novelty.store.delete(f"fpb{b}")
         except Exception:
             pass
+    eng.novelty._bloom_cache = None
     n = eng.novelty.rebuild_blooms(spark, set(eng.lake.epochs_applied()))
     assert n == eng.novelty.n_buckets
     assert eng.novelty._load_blooms() != {}
