@@ -716,6 +716,46 @@ FROM documents
 """
 
 
+# -- persisted ANN indexes (oracle = the inline operators' SQL) ---------------
+
+
+def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index (build once, queries prune partition
+    directories) answering the same query as ``ann_ivf_topk`` — sharing
+    its oracle pins index == inline, so the serving path is held to the
+    inline operator's exact results, not just a recall bound."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data_migration_validation_spark.operators.similarity import IvfIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="dmv-ivfidx-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    idx = IvfIndex.build(emb, tmp, n_list=IVF_LIST)
+    return idx.topk(spark, _query_vec_values(spark, sf_dir), k=ANN_K, n_probe=IVF_PROBE)
+
+
+def ann_lsh_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted LSH index answering ``ann_lsh_topk``'s query, same
+    oracle — bucket-partitioned tables + multi-probe partition filters
+    must reproduce the inline operator's rows exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data_migration_validation_spark.operators.similarity import LshIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="dmv-lshidx-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    idx = LshIndex.build(emb, tmp, n_tables=LSH_TABLES, n_bits=LSH_BITS, dim=DIM)
+    return idx.topk(
+        spark, _query_vec_values(spark, sf_dir), k=ANN_K, probe_radius=LSH_PROBE_RADIUS
+    )
+
+
 # -- PII scrubbing -----------------------------------------------------------
 #
 # The driver's documents are clean word salad, so PII is SEEDED as a pure
@@ -910,4 +950,6 @@ CORPUS_REGISTRY: dict[str, tuple] = {
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_ivf_index_topk": (ann_ivf_index_topk, ANN_IVF_SQL),
+    "ann_lsh_index_topk": (ann_lsh_index_topk, ANN_LSH_SQL),
 }

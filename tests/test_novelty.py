@@ -200,6 +200,42 @@ def test_vacuum_removes_only_superseded_orphans(spark, tmp_path):
     assert os.path.isdir(f"{nov.index_dir}/epoch=0")
 
 
+def test_novelty_through_streaming_front_end(spark, tmp_path):
+    """stream_apply drives apply_epoch per micro-batch, so the novelty
+    filter must hold across triggers: a later file re-posting an earlier
+    file's content under a new url never reaches the table."""
+    import os
+
+    from data_migration_validation_spark.streaming.microbatch import stream_apply
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    batches = [
+        [_ev("I", "u/a", 1, "stream alpha"), _ev("I", "u/b", 2, "stream beta")],
+        [_ev("I", "u/c", 10, "stream alpha", 1), _ev("I", "u/d", 11, "stream gamma", 1)],
+    ]
+    schema = None
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, SCHEMA)
+        schema = df.schema
+        staging = str(tmp_path / f"staging-{i}")
+        df.coalesce(1).write.parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.rename(os.path.join(staging, part), f"{log_dir}/batch-{i}.parquet")
+
+    eng = _engine(spark, tmp_path, name="stream-t")
+    q = stream_apply(
+        spark,
+        log_dir,
+        eng,
+        schema=schema,
+        checkpoint_location=str(tmp_path / "stream-ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert _urls(eng) == {"u/a", "u/b", "u/d"}  # u/c = content dup, dropped
+
+
 def test_bloom_bit_roundtrip_no_false_negatives():
     bits, k = 1 << 12, 4
     fps = np.arange(1, 2000, 7, dtype=np.uint64)
