@@ -716,6 +716,101 @@ FROM documents
 """
 
 
+# -- WARC source ---------------------------------------------------------------
+
+
+def warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WARC segment parse: deterministic segments are written
+    from `documents` (executor-side, pure function of the rows), then
+    read back through the real byte parser (binaryFile + mapInPandas).
+    The oracle reconstructs the expected records relationally — any
+    framing bug (Content-Length off-by-one, CRLF handling, header
+    casing) breaks the value hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from data_migration_validation_spark.sources.warc import read_warc, synth_warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="dmv-warc-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    synth_warc(docs, tmp)
+    recs = read_warc(spark, tmp)
+    return recs.select(
+        "url",
+        "warc_type",
+        "warc_date",
+        F.decode(F.col("payload"), "UTF-8").alias("payload_text"),
+    )
+
+
+WARC_PARSE_SQL = """
+SELECT 'https://warc.example.com/doc/' || doc_id AS url,
+       'response' AS warc_type,
+       '2024-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+       text AS payload_text
+FROM documents
+"""
+
+
+# -- URL canonicalization ------------------------------------------------------
+#
+# Messy URL variants seeded per doc_id (both engines build the same
+# strings): scheme/host case, default AND non-default ports, utm_*
+# tracking params, unsorted params, fragments.
+
+_URL_SPARK = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Site' ELSE 'HTTPS://Site' END, "
+    "CAST(doc_id % 37 AS STRING), "
+    "CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.Com' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) "
+    "     WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END, "
+    "'/Articles/', CAST(doc_id AS STRING), "
+    "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1' "
+    "     WHEN doc_id % 4 = 1 THEN '?b=2&a=1&utm_campaign=x' "
+    "     WHEN doc_id % 4 = 2 THEN '?a=1' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)"
+)
+
+_URL_DUCK = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Site' ELSE 'HTTPS://Site' END "
+    "|| CAST(doc_id % 37 AS VARCHAR) "
+    "|| CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.Com' END "
+    "|| CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) "
+    "        WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END "
+    "|| '/Articles/' || CAST(doc_id AS VARCHAR) "
+    "|| CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1' "
+    "        WHEN doc_id % 4 = 1 THEN '?b=2&a=1&utm_campaign=x' "
+    "        WHEN doc_id % 4 = 2 THEN '?a=1' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)"
+)
+
+
+def corpus_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-pipeline URL canonicalization: lowercase scheme/host, strip
+    default ports and fragments, drop utm_* tracking params, sort the
+    rest — pure Column expressions (scan-speed at any size); the DuckDB
+    twin is generated from the same rules (functions/url.py)."""
+    from data_migration_validation_spark.functions.url import canonicalize_url_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.expr(_URL_SPARK).alias("url"),
+    ).select("doc_id", "url", canonicalize_url_expr("url").alias("canon_url"))
+
+
+def _url_canon_sql() -> str:
+    from data_migration_validation_spark.functions.url import canonicalize_url_sql
+
+    return f"""
+WITH urls AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents)
+SELECT doc_id, url, {canonicalize_url_sql('url')} AS canon_url FROM urls
+"""
+
+
 # -- persisted ANN indexes (oracle = the inline operators' SQL) ---------------
 
 
@@ -952,4 +1047,6 @@ CORPUS_REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_ivf_index_topk": (ann_ivf_index_topk, ANN_IVF_SQL),
     "ann_lsh_index_topk": (ann_lsh_index_topk, ANN_LSH_SQL),
+    "corpus_url_canonical": (corpus_url_canonical, _url_canon_sql()),
+    "warc_parse": (warc_parse, WARC_PARSE_SQL),
 }
