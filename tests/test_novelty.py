@@ -179,6 +179,30 @@ def test_novelty_requires_mor(spark, tmp_path):
         )
 
 
+def test_rejected_epoch_does_not_poison_the_index(spark, tmp_path):
+    """Novelty records fingerprints BEFORE the write-audit-publish gate
+    decides. If the audit rejects the epoch, those index rows are
+    orphans of an uncommitted epoch — a clean retry (same epoch, fixed
+    data) must still admit its content, not see it as 'already seen'."""
+    from data_migration_validation_spark.operators.audit import page_envelope_audit
+
+    eng = _engine(spark, tmp_path)
+    audit = page_envelope_audit()
+    bad = spark.createDataFrame(
+        [("I", "not a url at all", datetime(2024, 1, 1), 1, (_html("poisoned body"), "en"), 0)],
+        SCHEMA,
+    )
+    st = eng.apply_epoch(bad, 0, audit=audit)
+    assert st.rejected
+    assert eng.read_final() is None  # nothing ever published
+    # retry epoch 0 with a VALID url carrying the same content — the
+    # rejected attempt's index rows must be invisible
+    good = spark.createDataFrame([_ev("I", "https://ok.example.com/1", 2, "poisoned body")], SCHEMA)
+    st2 = eng.apply_epoch(good, 0, audit=audit)
+    assert not st2.rejected and st2.novelty_dropped == 0
+    assert _urls(eng) == {"https://ok.example.com/1"}
+
+
 def test_vacuum_removes_only_superseded_orphans(spark, tmp_path):
     import os
 
