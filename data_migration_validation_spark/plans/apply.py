@@ -107,7 +107,7 @@ class CDCApplyEngine:
         quarantine: bool = True,
         text_extract: str = "arrow",
         store=None,
-        novelty_filter: bool = False,
+        novelty_filter: bool | str = False,
         novelty_buckets: int = 16,
         novelty_bloom_bits: int = 1 << 20,
     ):
@@ -148,6 +148,9 @@ class CDCApplyEngine:
         ``novelty_filter``: drop upsert winners whose extracted TEXT was
         already ingested in an earlier epoch (content dedup at ingest —
         bloom pre-pass + fingerprint-index exact check, plans/novelty.py).
+        ``True`` / ``"exact"`` = byte-identical text; ``"minhash"`` =
+        NEAR-duplicate admission (MinHash-banded, signature-similarity
+        threshold — drops boilerplate variants exact hashing misses).
         Deletes always pass through. Requires merge_mode="mor" (admission
         semantics are defined over per-epoch LWW winners)."""
         if merge_mode not in ("mor", "cow"):
@@ -182,6 +185,8 @@ class CDCApplyEngine:
         self.quarantine_dir = os.path.join(table_path, "_quarantine")
         if novelty_filter and merge_mode != "mor":
             raise ValueError("novelty_filter requires merge_mode='mor'")
+        if novelty_filter not in (False, True, "exact", "minhash"):
+            raise ValueError(f"unknown novelty_filter {novelty_filter!r}")
         if novelty_filter:
             from data_migration_validation_spark.plans.novelty import NoveltyFilter
 
@@ -190,8 +195,10 @@ class CDCApplyEngine:
                 n_buckets=novelty_buckets,
                 bloom_bits=novelty_bloom_bits,
             )
+            self.novelty_mode = "minhash" if novelty_filter == "minhash" else "exact"
         else:
             self.novelty = None
+            self.novelty_mode = None
         self.registry = SchemaRegistry()
         snap = self.lake.current_snapshot()
         if snap is not None:
@@ -397,11 +404,20 @@ class CDCApplyEngine:
                         "novelty_filter needs an extracted 'text' column "
                         "(events must carry payload.html)"
                     )
-                winners, nstats = self.novelty.admit(
+                # only STRICTLY EARLIER committed epochs gate admission —
+                # an out-of-order replay must not see its own or later
+                # epochs' fingerprints as history
+                committed = {e for e in self.lake.epochs_applied() if e < epoch}
+                admit = (
+                    self.novelty.admit_neardup
+                    if self.novelty_mode == "minhash"
+                    else self.novelty.admit
+                )
+                winners, nstats = admit(
                     self.spark,
                     winners,
                     epoch,
-                    set(self.lake.epochs_applied()),
+                    committed,
                     text_col="text",
                     key_col=key,
                 )

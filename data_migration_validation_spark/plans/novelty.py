@@ -370,6 +370,185 @@ class NoveltyFilter:
             self._save_bloom(b, merged)
         # buckets with no admitted rows this epoch keep their stored bloom
 
+    # -- near-duplicate admission (MinHash-banded) -----------------------------
+
+    def admit_neardup(
+        self,
+        spark: SparkSession,
+        winners: DataFrame,
+        epoch: int,
+        committed_epochs: set[int],
+        text_col: str = "text",
+        key_col: str = "url",
+        order_cols: tuple[str, ...] = ("warc_ts", "seq"),
+        deleted_col: str = "deleted",
+        num_perm: int = 8,
+        bands: int = 4,
+        shingle_k: int = 3,
+        sim_min_matches: int = 4,
+    ) -> tuple[DataFrame, NoveltyStats]:
+        """Near-duplicate novelty: drop an upsert winner iff any EARLIER
+        seen winner (same epoch by (order_cols, key), or any committed
+        epoch) shares an LSH band AND agrees on ≥ ``sim_min_matches`` of
+        the ``num_perm`` MinHash signature positions (the standard
+        signature-level Jaccard estimate; an integer threshold so the two
+        engines can never diverge on a float compare).
+
+        Semantics are "cluster-collapse to the first-seen member": the
+        earlier row counts even if IT was dropped — the index records
+        every seen winner, so a chain A≈B≈C (A admitted, B dropped)
+        still drops C via B. This is the aggressive crawl-dedup shape,
+        and crucially it needs NO transitive closure at admit time —
+        one band join per epoch. Exact duplicates collapse first via the
+        exact-fingerprint window (a by-product: band buckets stay small
+        — a flood of identical pages is one band row, not a quadratic
+        bucket).
+
+        Scale shape mirrors the exact mode: blooms key on
+        xxhash64(band_id, band_key) (misses skip the join entirely), the
+        index is partitioned by band-hash bucket, and the join carries
+        bloom hits × matching index partitions only. Storage is
+        ``bands`` rows of (band key + num_perm longs) per seen winner.
+        """
+        from data_migration_validation_spark.functions.hashing import (
+            minhash_signature,
+            shingle_hashes,
+        )
+        from data_migration_validation_spark.functions.text import tokens
+
+        self.release()
+        winners = winners.persist()
+        dels = winners.where(F.col(deleted_col))
+        ups = winners.where(~F.col(deleted_col))
+
+        # exact in-epoch pre-dedup (first occurrence wins)
+        w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(
+            *[F.col(c).asc() for c in order_cols], F.col(key_col).asc()
+        )
+        tagged = ups.withColumn("_rn", F.row_number().over(w)).persist()
+        firsts = tagged.where(F.col("_rn") == 1).drop("_rn")
+
+        # signatures + band rows (hoisted projections: interpreted HOFs
+        # get no common-subexpression elimination — same lesson as
+        # operators/dedup.minhash_lsh_pairs)
+        r = num_perm // bands
+        hashed = firsts.select(
+            key_col,
+            *order_cols,
+            shingle_hashes(tokens(F.col(text_col)), k=shingle_k).alias("_hashes"),
+        )
+        sigd = hashed.select(
+            key_col, *order_cols, minhash_signature(F.col("_hashes"), num_perm).alias("_sig")
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.element_at("_sig", b * r + j + 1).cast("string")
+                            for j in range(r)
+                        ],
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        band_rows = (
+            sigd.select(key_col, *order_cols, "_sig", F.explode(band_structs).alias("_b"))
+            .select(
+                key_col,
+                *order_cols,
+                "_sig",
+                F.col("_b.band_id").alias("band_id"),
+                F.col("_b.band_key").alias("band_key"),
+            )
+            .withColumn(FP_COL, F.xxhash64(F.col("band_id"), F.col("band_key")))
+            .withColumn(FPB_COL, F.pmod(F.col(FP_COL), F.lit(self.n_buckets)).cast("int"))
+            .persist()
+        )
+
+        ord_struct = F.struct(*[F.col(c) for c in order_cols], F.col(key_col))
+        sim_pred_sql = (
+            f"size(filter(zip_with(e._sig, m._sig, (x, y) -> x = y), t -> t)) "
+            f">= {int(sim_min_matches)}"
+        )
+
+        # in-epoch: per band bucket, a member is dropped if ANY bucket-mate
+        # with a smaller order tuple is similar — in-array expansion, no
+        # self-join (buckets are small post-exact-dedup)
+        members = band_rows.groupBy("band_id", "band_key").agg(
+            F.collect_list(
+                F.struct(ord_struct.alias("_o"), F.col(key_col).alias("_k"), F.col("_sig").alias("_sig"))
+            ).alias("_ms")
+        )
+        in_epoch_dropped = (
+            members.where(F.size("_ms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(filter(_ms, m -> exists(_ms, "
+                        f"e -> e._o < m._o AND {sim_pred_sql})), m -> m._k)"
+                    )
+                ).alias(key_col)
+            )
+            .distinct()
+        )
+
+        # cross-epoch: bloom pre-pass on the band hash, exact check joins
+        # the committed index on (_fpb, band_id, band_key) + similarity
+        blooms = self._load_blooms()
+        idx = self._read_index_neardup(spark, committed_epochs)
+        cross_dropped = None
+        if idx is not None:
+            probe = band_rows
+            if blooms:
+                maybe = self._bloom_hit_udf(spark, blooms)
+                probe = probe.withColumn("_maybe", maybe(FP_COL, FPB_COL)).where(
+                    F.col("_maybe")
+                )
+            m = probe.alias("m")
+            e = idx.alias("e")
+            cross_dropped = (
+                m.join(e, [FPB_COL, "band_id", "band_key"])
+                .where(F.expr(sim_pred_sql))
+                .select(F.col(f"m.{key_col}").alias(key_col))
+                .distinct()
+            )
+
+        dropped = in_epoch_dropped
+        if cross_dropped is not None:
+            dropped = dropped.unionByName(cross_dropped).distinct()
+        admitted = firsts.join(dropped, key_col, "left_anti")
+
+        # record: index rows for ALL seen winners (post-exact-dedup),
+        # then bloom bits — same trust/crash contract as exact mode
+        (
+            band_rows.select(FP_COL, FPB_COL, "band_id", "band_key", "_sig")
+            .write.mode("overwrite")
+            .partitionBy(FPB_COL)
+            .parquet(os.path.join(self.index_dir, f"epoch={epoch}"))
+        )
+        self._update_blooms(band_rows, blooms)
+
+        n_cand = tagged.count()
+        n_admitted = admitted.count()
+        self._held = [winners, tagged, band_rows]
+        return dels.unionByName(admitted), NoveltyStats(
+            candidates=n_cand, admitted=n_admitted, dropped=n_cand - n_admitted
+        )
+
+    def _read_index_neardup(
+        self, spark: SparkSession, committed_epochs: set[int]
+    ) -> DataFrame | None:
+        if not committed_epochs or not self._index_has_data():
+            return None
+        idx = spark.read.parquet(self.index_dir)
+        return idx.where(
+            F.col("epoch").isin([int(e) for e in committed_epochs])
+        ).select(FPB_COL, "band_id", "band_key", "_sig")
+
     def vacuum_orphans(self, committed_epochs: set[int]) -> list[int]:
         """Delete index partitions for epochs the lake never committed and
         that sit BELOW the committed head — i.e. crashed or rejected

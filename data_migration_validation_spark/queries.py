@@ -296,6 +296,151 @@ FROM final WHERE rn2 = 1 AND op <> 'D'
 """
 
 
+# -- near-duplicate novelty replay --------------------------------------------
+#
+# Mirrors for the MinHash-banded mode: % 9 == 0 re-posts a NEAR-duplicate
+# (original v0 text + one appended token — exact hashing would miss it),
+# % 9 == 3 posts the words REVERSED (shingle sets ~disjoint → genuinely
+# novel). Same late-epoch placement as the exact-mode mirrors.
+
+
+def doc_changes_with_near_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = doc_changes(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = _parquet_rows(f"{sf_dir}/documents.parquet")
+    events_per_epoch = max(1, (3 * n_docs) // N_EPOCHS + 1)
+    d = F.col("doc_id")
+    sel = docs.where((d % 9 == 0) | (d % 9 == 3))
+    reversed_words = F.array_join(F.reverse(F.split(F.trim(F.col("text")), " ")), " ")
+    body = F.when(
+        d % 9 == 0, F.concat(F.col("text"), F.lit(" v0 extra"))
+    ).otherwise(F.concat(reversed_words, F.lit(" m0")))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>M"),
+            d.cast("string"),
+            F.lit("</title></head><body><p>"),
+            body,
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    seq = F.lit(3 * n_docs) + d * 3
+    mirrors = sel.select(
+        F.lit("I").alias("op"),
+        F.concat(F.lit("https://mirror.example.com/doc/"), d.cast("string")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=(F.lit(36_000) + d % 60).cast("double"))
+        ).alias("warc_ts"),
+        seq.alias("seq"),
+        F.struct(html.alias("html"), F.col("lang").alias("lang")).alias("payload"),
+        (seq / events_per_epoch).cast("long").alias("batch_epoch"),
+    )
+    return base.unionByName(mirrors)
+
+
+def cdc_novel_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replay with NEAR-duplicate admission (novelty_filter="minhash"):
+    a boilerplate variant of already-ingested text (one appended token)
+    must be dropped; reversed-word content must land. The oracle
+    recomputes admission as band-matching earlier-row pairs over the
+    SAME MinHash pipeline (shared constant twins in functions/hashing),
+    so signature math, banding, the integer similarity threshold, and
+    the order rule are all value-checked."""
+    return _cdc_replay_final(
+        spark,
+        sf_dir,
+        prefix="dmv-cdcnd-",
+        changes=doc_changes_with_near_mirrors(spark, sf_dir),
+        engine_kwargs={"novelty_filter": "minhash"},
+    )
+
+
+def cdc_novel_neardup_state_oracle() -> str:
+    from data_migration_validation_spark.functions import hashing as H
+
+    num_perm, bands, shingle_k, sim_min = 8, 4, 3, 4  # engine defaults
+    r = num_perm // bands
+    toks = H.tokens_sql("p_text")
+    shingles = H.shingles_from_tokens_sql(toks, k=shingle_k)
+    hashes = H.hashes_from_shingles_sql(shingles)
+    sig = H.minhash_signature_sql("hashes", num_perm)
+    return f"""
+WITH exploded AS (
+  SELECT doc_id, text, lang, source, v
+  FROM documents, (SELECT unnest(generate_series(0, 2)) AS v) versions
+  WHERE v <= doc_id % 3
+),
+changes AS (
+  SELECT
+    CASE WHEN v > 0 AND (doc_id + v) % 5 = 0 THEN 'D'
+         WHEN v = 0 THEN 'I' ELSE 'U' END AS op,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    TIMESTAMP '2024-01-01 00:00:00' + (v*3600 + doc_id % 60) * INTERVAL 1 SECOND AS warc_ts,
+    doc_id * 3 + (CASE WHEN doc_id % 7 = 0 THEN (doc_id % 3) - v ELSE v END) AS seq,
+    lang AS p_lang,
+    text || ' v' || v AS p_text
+  FROM exploded
+),
+mirrors AS (
+  SELECT 'I' AS op,
+         'https://mirror.example.com/doc/' || doc_id AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + (36000 + doc_id % 60) * INTERVAL 1 SECOND AS warc_ts,
+         (SELECT 3*count(*) FROM documents) + doc_id*3 AS seq,
+         lang AS p_lang,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' v0 extra'
+              ELSE array_to_string(list_reverse(string_split(trim(text), ' ')), ' ') || ' m0'
+         END AS p_text
+  FROM documents WHERE doc_id % 9 IN (0, 3)
+),
+stream AS (SELECT * FROM changes UNION ALL SELECT * FROM mirrors),
+epochs AS (
+  SELECT *, seq // (SELECT 3 * count(*) // {N_EPOCHS} + 1 FROM documents) AS epoch
+  FROM stream
+),
+winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url, epoch ORDER BY warc_ts DESC, seq DESC) AS rn
+    FROM epochs) WHERE rn = 1
+),
+ups AS (SELECT * FROM winners WHERE op <> 'D'),
+exact_first AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY epoch, p_text ORDER BY warc_ts ASC, seq ASC, url ASC) AS er
+    FROM ups) WHERE er = 1
+),
+hs AS (
+  SELECT url, epoch, warc_ts, seq, {hashes} AS hashes FROM exact_first
+),
+sigs AS (SELECT url, epoch, warc_ts, seq, {sig} AS sig FROM hs),
+bandrows AS (
+  SELECT url, epoch, warc_ts, seq, sig, band_id,
+         array_to_string(list_slice(sig, band_id*{r}+1, band_id*{r}+{r}), '-') AS band_key
+  FROM sigs, (SELECT unnest(range({bands})) AS band_id)
+),
+dropped AS (
+  SELECT DISTINCT l.url, l.epoch
+  FROM bandrows e JOIN bandrows l
+    ON e.band_id = l.band_id AND e.band_key = l.band_key
+   AND (e.epoch, e.warc_ts, e.seq, e.url) < (l.epoch, l.warc_ts, l.seq, l.url)
+  WHERE len([i for i in range(1, {num_perm}+1) if e.sig[i] = l.sig[i]]) >= {sim_min}
+),
+survivors AS (
+  SELECT f.op, f.url, f.warc_ts, f.seq, f.p_lang, f.p_text
+  FROM exact_first f ANTI JOIN dropped d ON f.url = d.url AND f.epoch = d.epoch
+  UNION ALL
+  SELECT op, url, warc_ts, seq, p_lang, p_text FROM winners WHERE op = 'D'
+),
+final AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn2
+  FROM survivors
+)
+SELECT url, warc_ts, seq, p_lang AS lang, p_text AS text
+FROM final WHERE rn2 = 1 AND op <> 'D'
+"""
+
+
 ASOF_EPOCH = 1  # mid-replay epoch the time-travel query reads back to
 
 
@@ -1455,6 +1600,7 @@ REGISTRY: dict[str, tuple] = {
     "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
     "cdc_final_state_audited": (cdc_final_state_audited, cdc_final_state_oracle()),
     "cdc_novel_state": (cdc_novel_state, cdc_novel_state_oracle()),
+    "cdc_novel_neardup_state": (cdc_novel_neardup_state, cdc_novel_neardup_state_oracle()),
     "cdc_state_asof": (cdc_state_asof, cdc_state_asof_oracle()),
     "cdc_changes": (cdc_changes, cdc_changes_oracle()),
     "cdc_envelope_parse": (cdc_envelope_parse, cdc_envelope_parse_oracle()),

@@ -260,6 +260,102 @@ def test_novelty_through_streaming_front_end(spark, tmp_path):
     assert _urls(eng) == {"u/a", "u/b", "u/d"}  # u/c = content dup, dropped
 
 
+# -- near-duplicate mode (MinHash-banded) --------------------------------------
+
+BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor"
+)
+OTHER = (
+    "zinc yarrow xenon walnut violet umber topaz slate ruby quartz pearl "
+    "onyx nickel maroon lapis kohl jade ivory hazel garnet flint ebony"
+)
+
+
+def _engine_nd(spark, tmp_path, name="nd", **kw):
+    return CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / name),
+        checkpoint_path=str(tmp_path / f"{name}-ckpt"),
+        num_buckets=4,
+        compact_every=None,
+        novelty_filter="minhash",
+        novelty_buckets=4,
+        novelty_bloom_bits=1 << 12,
+        **kw,
+    )
+
+
+def test_neardup_drops_boilerplate_variant_across_epochs(spark, tmp_path):
+    eng = _engine_nd(spark, tmp_path)
+    st0 = eng.apply_epoch(spark.createDataFrame([_ev("I", "u/a", 1, BASE)], SCHEMA), 0)
+    assert st0.novelty_dropped == 0
+    e1 = spark.createDataFrame(
+        [
+            _ev("I", "u/b", 10, BASE + " footer", 1),  # near-dup: one added token
+            _ev("I", "u/c", 11, OTHER, 1),             # genuinely different
+        ],
+        SCHEMA,
+    )
+    st1 = eng.apply_epoch(e1, 1)
+    assert st1.novelty_dropped == 1
+    assert _urls(eng) == {"u/a", "u/c"}
+
+
+def test_neardup_also_drops_exact_dups(spark, tmp_path):
+    eng = _engine_nd(spark, tmp_path)
+    eng.apply_epoch(spark.createDataFrame([_ev("I", "u/a", 1, BASE)], SCHEMA), 0)
+    st = eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/b", 9, BASE, 1)], SCHEMA), 1
+    )
+    assert st.novelty_dropped == 1
+    assert _urls(eng) == {"u/a"}
+
+
+def test_neardup_in_epoch_first_by_order_wins(spark, tmp_path):
+    eng = _engine_nd(spark, tmp_path)
+    st = eng.apply_epoch(
+        spark.createDataFrame(
+            [_ev("I", "u/later", 20, BASE + " tail"), _ev("I", "u/early", 5, BASE)],
+            SCHEMA,
+        ),
+        0,
+    )
+    assert st.novelty_dropped == 1
+    assert _urls(eng) == {"u/early"}
+
+
+def test_neardup_deletes_pass_through(spark, tmp_path):
+    eng = _engine_nd(spark, tmp_path)
+    eng.apply_epoch(spark.createDataFrame([_ev("I", "u/a", 1, BASE)], SCHEMA), 0)
+    eng.apply_epoch(spark.createDataFrame([_ev("D", "u/a", 5, None, 1)], SCHEMA), 1)
+    assert _urls(eng) == set()
+    # seen-ever applies to near-dups too
+    st = eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/b", 9, BASE + " reborn", 2)], SCHEMA), 2
+    )
+    assert st.novelty_dropped == 1
+
+
+def test_neardup_replay_idempotent(spark, tmp_path):
+    eng = _engine_nd(spark, tmp_path)
+    ev = spark.createDataFrame([_ev("I", "u/a", 1, BASE)], SCHEMA)
+    eng.apply_epoch(ev, 0)
+    st = eng.apply_epoch(ev, 0)
+    assert st.skipped
+    assert _urls(eng) == {"u/a"}
+
+
+def test_unknown_novelty_mode_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="novelty_filter"):
+        CDCApplyEngine(
+            spark,
+            table_path=str(tmp_path / "x2"),
+            checkpoint_path=str(tmp_path / "x2c"),
+            novelty_filter="fuzzy",
+        )
+
+
 def test_bloom_bit_roundtrip_no_false_negatives():
     bits, k = 1 << 12, 4
     fps = np.arange(1, 2000, 7, dtype=np.uint64)
