@@ -28,16 +28,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# visible sentinel for NULL cells — concat_ws would silently drop them,
-# making NULL and empty-string rows collide into one digest
-NULL_SENTINEL = "␀"
+# sentinel for NULL cells — concat_ws would silently drop them, making
+# NULL and empty-string rows collide into one digest. Safe against data
+# collisions because it joins md5 RENDERINGS: every non-null cell becomes
+# exactly 32 hex chars, and "N" is not 32 hex chars, so no cell value can
+# impersonate it.
+NULL_SENTINEL = "N"
 
 N_CHUNKS = 64
 
 
 def _row_digest(cols: list[str]) -> F.Column:
+    # md5 each column BEFORE joining: fixed-width renderings make the '|'
+    # separator unambiguous. Joining raw strings would let values carry
+    # the separator across column boundaries — ('a|b','c') and ('a','b|c')
+    # would hash identically, breaking the "matching chunk is PROVEN
+    # identical" claim.
     rendered = [
-        F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in cols
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit(NULL_SENTINEL))
+        for c in cols
     ]
     return F.md5(F.concat_ws("|", *rendered))
 

@@ -513,26 +513,35 @@ class CDCApplyEngine:
                     staged = self.lake.read_added(self.spark, staged_v)
                     violations = audit(staged)
                 bad = {k: int(v) for k, v in violations.items() if v}
-                self.ckpt.append_metrics(
-                    [
-                        {
-                            "epoch": epoch,
-                            "stage": "audit",
-                            "metric": f"audit_{name}",
-                            "value": float(count),
-                        }
-                        for name, count in violations.items()
-                    ]
-                    + [
-                        {
-                            "epoch": epoch,
-                            "stage": "audit",
-                            "metric": "audit_rejected",
-                            "value": float(bool(bad)),
-                        }
-                    ]
-                )
+
+                # audit metrics are appended exactly ONCE per epoch — on
+                # the definitive outcome (rejection, or after the publish
+                # lands). Appending per attempt would double-count
+                # audit_* / audit_rejected rows when a publish conflict
+                # forces a re-stage, skewing per-epoch metric consumers.
+                def _record_audit(violations, bad):
+                    self.ckpt.append_metrics(
+                        [
+                            {
+                                "epoch": epoch,
+                                "stage": "audit",
+                                "metric": f"audit_{name}",
+                                "value": float(count),
+                            }
+                            for name, count in violations.items()
+                        ]
+                        + [
+                            {
+                                "epoch": epoch,
+                                "stage": "audit",
+                                "metric": "audit_rejected",
+                                "value": float(bool(bad)),
+                            }
+                        ]
+                    )
+
                 if bad:
+                    _record_audit(violations, bad)
                     self.lake.reject_staged(staged_v)
                     return ApplyStats(
                         epoch=epoch,
@@ -546,11 +555,14 @@ class CDCApplyEngine:
                     )
                 try:
                     self.lake.publish(staged_v)
+                    _record_audit(violations, bad)
                     break
                 except CommitConflictError:
                     self.lake.reject_staged(staged_v)
                     if epoch in self.lake.epochs_applied():
-                        committed = False  # another replayer won: idempotent skip
+                        # another replayer won: idempotent skip — the
+                        # winner records the epoch's audit metrics
+                        committed = False
                         break
                     if attempt == 2:
                         raise

@@ -32,7 +32,14 @@ Crash-safety contract (shares the lake's idempotent-epoch discipline):
 
 * Bloom bits are a SUPERSET cache: extra bits (from a crashed/rejected
   attempt) only cause extra exact checks, never false drops. Blooms are
-  rebuildable from the index (``rebuild_blooms``).
+  rebuildable from the index (``rebuild_blooms``). Updates are CAS-folds
+  (read → OR → put-if-match → retry) tagged with the max epoch folded
+  in, so concurrent writers union instead of clobbering, and an admit
+  only TRUSTS a bloom whose tag covers its committed epochs — a stale or
+  missing bloom degrades to the exact index check, never a blind admit.
+* The admission mode (exact vs minhash) and its shape parameters are
+  pinned in the store on first use; reopening a table with a different
+  mode raises instead of mixing incompatible index schemas.
 * Index partitions are only TRUSTED for epochs the LAKE committed: the
   exact check filters ``epoch ∈ lake-committed epochs``, so a crash
   between index write and table commit cannot make a later epoch drop
@@ -151,30 +158,131 @@ class NoveltyFilter:
         self.bloom_k = bloom_k
         self.store = store or PosixCommitStore(os.path.join(root, "blooms"))
         # driver-side cache: one store read per bucket per PROCESS, not
-        # per epoch (writes keep it coherent; multi-writer processes each
-        # converge to supersets, which is safe — see class docstring)
-        self._bloom_cache: dict[int, np.ndarray] | None = None
+        # per epoch. Safe under concurrent writers because every entry
+        # carries its HEAD tag (max epoch folded in): a bloom is only
+        # TRUSTED for an admit when its head covers the caller's committed
+        # epochs, and an uncovered bloom degrades to the exact check —
+        # never to a blind admit (see _blooms_for).
+        self._bloom_cache: dict[int, tuple[np.ndarray, int]] | None = None
 
     # -- bloom persistence ----------------------------------------------------
+    #
+    # Stored format: "<head>:<base64 bits>". head = max epoch whose
+    # admitted fingerprints have been folded into the bits (-1 = unknown/
+    # legacy → never trusted). Folds go through a CAS loop (read → OR →
+    # put-if-match → retry), so two concurrent writers can never erase
+    # each other's committed bits — the failure mode of a plain
+    # last-writer-wins overwrite, where a bloom MISS would then silently
+    # re-admit already-ingested content.
 
-    def _load_blooms(self) -> dict[int, np.ndarray]:
-        if self._bloom_cache is not None:
-            return dict(self._bloom_cache)
-        out: dict[int, np.ndarray] = {}
-        for b in range(self.n_buckets):
-            raw = self.store.read(f"fpb{b}")
-            if raw is not None:
-                out[b] = np.frombuffer(
-                    base64.b64decode(raw), dtype=np.uint8
-                ).copy()
-        self._bloom_cache = dict(out)
-        return out
+    @staticmethod
+    def _decode(raw: str) -> tuple[np.ndarray, int]:
+        head_s, _, b64 = raw.strip().partition(":")
+        if not b64:  # legacy bare-b64 object: bits usable, coverage unknown
+            head_s, b64 = "-1", head_s
+        return (
+            np.frombuffer(base64.b64decode(b64), dtype=np.uint8).copy(),
+            int(head_s),
+        )
 
-    def _save_bloom(self, b: int, bitmap: np.ndarray) -> None:
-        self.store.write(f"fpb{b}", base64.b64encode(bitmap.tobytes()).decode())
-        if self._bloom_cache is None:
-            self._bloom_cache = {}
-        self._bloom_cache[b] = bitmap
+    @staticmethod
+    def _encode(bitmap: np.ndarray, head: int) -> str:
+        return f"{int(head)}:" + base64.b64encode(bitmap.tobytes()).decode()
+
+    def _load_blooms(self, refresh: bool = False) -> dict[int, np.ndarray]:
+        if self._bloom_cache is None or refresh:
+            cache: dict[int, tuple[np.ndarray, int]] = {}
+            for b in range(self.n_buckets):
+                raw = self.store.read(f"fpb{b}")
+                if raw is not None:
+                    cache[b] = self._decode(raw)
+            self._bloom_cache = cache
+        return {b: bm for b, (bm, _head) in self._bloom_cache.items()}
+
+    def _blooms_for(self, committed_epochs: set[int]) -> dict[int, np.ndarray]:
+        """Blooms TRUSTABLE against ``committed_epochs``: head must cover
+        the committed high-water mark and the bitmap must match this
+        filter's geometry. A stale cache triggers ONE store refresh (the
+        other-writer-advanced-the-table case); buckets still uncovered
+        after that are omitted, which routes their members to the exact
+        index check (an absent bloom defaults to HIT in the pre-pass)."""
+        nbytes = self.bloom_bits // 8
+        need = max(committed_epochs) if committed_epochs else None
+        self._load_blooms()
+        assert self._bloom_cache is not None
+
+        def usable(bm: np.ndarray, head: int) -> bool:
+            return len(bm) == nbytes and (need is None or head >= need)
+
+        if need is not None and any(
+            head < need for _bm, head in self._bloom_cache.values()
+        ):
+            self._load_blooms(refresh=True)
+        return {
+            b: bm
+            for b, (bm, head) in self._bloom_cache.items()
+            if usable(bm, head)
+        }
+
+    def _save_bloom(self, b: int, add: np.ndarray, epoch: int) -> None:
+        """CAS-fold ``add`` into bucket ``b``'s stored bloom. Retries on a
+        lost race with the freshly-read content, so concurrent folds
+        union rather than clobber. A stored bitmap of a DIFFERENT
+        geometry (resized filter) is replaced but tagged head=-1 —
+        untrusted until ``rebuild_blooms`` re-derives coverage."""
+        name = f"fpb{b}"
+        nbytes = self.bloom_bits // 8
+        for _ in range(64):
+            raw = self.store.read(name)
+            if raw is None:
+                merged, new_head = add, int(epoch)
+            else:
+                cur, head = self._decode(raw)
+                if len(cur) != nbytes:
+                    merged, new_head = add, -1
+                else:
+                    merged, new_head = cur | add, max(head, int(epoch))
+            expected = raw.strip() if raw is not None else None
+            if self.store.cas(name, expected, self._encode(merged, new_head)):
+                if self._bloom_cache is None:
+                    self._bloom_cache = {}
+                self._bloom_cache[b] = (merged, new_head)
+                return
+        raise RuntimeError(
+            f"novelty bloom {name}: CAS contention persisted after 64 attempts"
+        )
+
+    # -- mode pinning ----------------------------------------------------------
+
+    def _ensure_mode(self, mode: str, **params: int) -> None:
+        """Pin the index's admission mode + shape parameters on first use
+        and refuse a mismatched reopen: the exact and minhash modes write
+        INCOMPATIBLE index schemas into the same directory, and a silent
+        mix either fails on missing columns or — worse — exact-checks
+        text fingerprints against band-hash rows, re-admitting committed
+        content."""
+        import json
+
+        desc = {
+            "mode": mode,
+            "n_buckets": int(self.n_buckets),
+            **{k: int(v) for k, v in params.items()},
+        }
+        content = json.dumps(desc, sort_keys=True)
+        if getattr(self, "_mode_pinned", None) == content:
+            return  # verified once per process; the pin never changes
+        cur = self.store.read("_mode")
+        if cur is None:
+            self.store.write_exclusive("_mode", content)
+            cur = self.store.read("_mode")
+        if cur is not None and json.loads(cur) != desc:
+            raise ValueError(
+                f"novelty index at {self.root} was created with "
+                f"{cur.strip()}; reopening it as {content} would mix "
+                f"incompatible index schemas — use a fresh table or the "
+                f"original parameters"
+            )
+        self._mode_pinned = content
 
     # -- admission --------------------------------------------------------------
 
@@ -204,6 +312,7 @@ class NoveltyFilter:
         Admission semantics are hash-agnostic — any injective-enough
         deterministic hash yields the same decisions, which is what the
         cdc_novel_state oracle checks by partitioning on the text itself."""
+        self._ensure_mode("exact")
         self.release()  # previous epoch's cache, if the caller forgot
         winners = winners.persist()
         dels = winners.where(F.col(deleted_col))
@@ -232,7 +341,7 @@ class NoveltyFilter:
             .drop("_rn")
         )
 
-        blooms = self._load_blooms()
+        blooms = self._blooms_for(committed_epochs)
         idx = self._read_index(spark, committed_epochs)
         extra_cached = []
         if idx is None:
@@ -265,8 +374,8 @@ class NoveltyFilter:
             .parquet(os.path.join(self.index_dir, f"epoch={epoch}"))
         )
         # 2. bloom update: distributed per-bucket bitmap partials, driver
-        #    ORs fixed-size bitmaps (never row data)
-        self._update_blooms(novel, blooms)
+        #    CAS-folds fixed-size bitmaps into the store (never row data)
+        self._update_blooms(novel, epoch)
 
         n_cand = int(obs_cand.get["n"])  # upsert winners incl. in-epoch dups
         n_admitted = int(obs_adm.get["n"])
@@ -341,8 +450,15 @@ class NoveltyFilter:
         return hit
 
     def _update_blooms(
-        self, novel: DataFrame, blooms: dict[int, np.ndarray]
+        self, novel: DataFrame, epoch: int, rebuild_head: int | None = None
     ) -> None:
+        """Fold ``novel``'s fingerprints into the stored blooms. Default:
+        CAS-fold per bucket, head advanced to ``epoch``. With
+        ``rebuild_head`` set: unconditional overwrite with exactly the
+        computed bits and that head — the recovery path. A rebuild racing
+        an active fold may shed that fold's bits, but its head then sits
+        below the folder's epoch, so once that epoch commits the bloom is
+        stale-by-head and admission exact-checks instead of trusting it."""
         bits, k = self.bloom_bits, self.bloom_k
         nbytes = bits // 8
 
@@ -364,10 +480,14 @@ class NoveltyFilter:
         )
         for row in partials:
             b = row["b"]
-            cur = blooms.get(b)
             add = np.frombuffer(row["bm"], dtype=np.uint8)
-            merged = add if cur is None else (cur | add)
-            self._save_bloom(b, merged)
+            if rebuild_head is not None:
+                self.store.write(f"fpb{b}", self._encode(add, rebuild_head))
+                if self._bloom_cache is None:
+                    self._bloom_cache = {}
+                self._bloom_cache[b] = (add, rebuild_head)
+            else:
+                self._save_bloom(b, add, epoch)
         # buckets with no admitted rows this epoch keep their stored bloom
 
     # -- near-duplicate admission (MinHash-banded) -----------------------------
@@ -416,6 +536,9 @@ class NoveltyFilter:
         )
         from data_migration_validation_spark.functions.text import tokens
 
+        self._ensure_mode(
+            "minhash", num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        )
         self.release()
         winners = winners.persist()
         dels = winners.where(F.col(deleted_col))
@@ -498,7 +621,7 @@ class NoveltyFilter:
 
         # cross-epoch: bloom pre-pass on the band hash, exact check joins
         # the committed index on (_fpb, band_id, band_key) + similarity
-        blooms = self._load_blooms()
+        blooms = self._blooms_for(committed_epochs)
         idx = self._read_index_neardup(spark, committed_epochs)
         cross_dropped = None
         if idx is not None:
@@ -530,7 +653,7 @@ class NoveltyFilter:
             .partitionBy(FPB_COL)
             .parquet(os.path.join(self.index_dir, f"epoch={epoch}"))
         )
-        self._update_blooms(band_rows, blooms)
+        self._update_blooms(band_rows, epoch)
 
         n_cand = tagged.count()
         n_admitted = admitted.count()
@@ -584,7 +707,11 @@ class NoveltyFilter:
         idx = self._read_index(spark, committed_epochs)
         if idx is None:
             return 0
-        # fresh bitmaps: _update_blooms merges against the passed dict, so
-        # an empty one makes the save an overwrite, not an OR
-        self._update_blooms(idx, {})
+        # overwrite mode: exactly the committed index's bits, with the
+        # committed high-water mark as the coverage head
+        self._update_blooms(
+            idx,
+            epoch=-1,
+            rebuild_head=max(committed_epochs) if committed_epochs else -1,
+        )
         return self.n_buckets

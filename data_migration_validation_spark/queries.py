@@ -1547,8 +1547,12 @@ def val_agg_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _checksum_sql() -> str:
     from data_migration_validation_spark.operators.checksum import NULL_SENTINEL
 
+    # md5-per-column before joining — same boundary-unambiguous rendering
+    # as operators/checksum.py:_row_digest (a raw '|' join would collide
+    # ('a|b','c') with ('a','b|c'))
     rendered = " || '|' || ".join(
-        f"coalesce(CAST({c} AS VARCHAR), '{NULL_SENTINEL}')" for c in CHECKSUM_COLS
+        f"coalesce(md5(CAST({c} AS VARCHAR)), '{NULL_SENTINEL}')"
+        for c in CHECKSUM_COLS
     )
     digest = f"CAST(('0x' || substr(md5({rendered}), 1, 8)) AS BIGINT)"
     side = (

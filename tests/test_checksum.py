@@ -51,6 +51,27 @@ def test_null_and_empty_string_digest_differently(spark):
     assert ca != cb  # concat_ws alone would silently merge these
 
 
+def test_separator_in_values_does_not_cross_column_boundaries(spark):
+    """('a|b','c') vs ('a','b|c') — a raw '|' join of the rendered values
+    would digest these identically; the per-column md5 rendering must
+    not."""
+    a = spark.createDataFrame([(1, "a|b", "c")], "k long, x string, y string")
+    b = spark.createDataFrame([(1, "a", "b|c")], "k long, x string, y string")
+    ca = chunk_checksums(a, "k", ["x", "y"]).collect()[0]["checksum"]
+    cb = chunk_checksums(b, "k", ["x", "y"]).collect()[0]["checksum"]
+    assert ca != cb
+
+
+def test_literal_null_sentinel_does_not_collide_with_null(spark):
+    from data_migration_validation_spark.operators.checksum import NULL_SENTINEL
+
+    a = spark.createDataFrame([(1, None)], "k long, name string")
+    b = spark.createDataFrame([(1, NULL_SENTINEL)], "k long, name string")
+    ca = chunk_checksums(a, "k", ["k", "name"]).collect()[0]["checksum"]
+    cb = chunk_checksums(b, "k", ["k", "name"]).collect()[0]["checksum"]
+    assert ca != cb
+
+
 def test_checksum_order_independent(spark):
     rows = [(i, f"n{i}", i) for i in range(50)]
     fwd = chunk_checksums(_df(spark, rows), "k", COLS, n_chunks=1).collect()[0]

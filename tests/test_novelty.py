@@ -365,3 +365,123 @@ def test_bloom_bit_roundtrip_no_false_negatives():
     other = np.arange(100_000, 102_000, dtype=np.uint64)
     fp_rate = _test_bits(bm, _positions(other, bits, k)).mean()
     assert fp_rate < 0.5  # saturated but not degenerate at this tiny size
+
+
+# -- multi-writer bloom safety (CAS folds + head-tagged trust) ----------------
+
+
+def test_bloom_cas_fold_survives_stale_cache_writer(tmp_path):
+    """Two writers over the same bloom store: B primes its cache before
+    A's fold, then folds its own bits. A last-writer-wins overwrite from
+    B's stale view would erase A's committed bits (and a later bloom MISS
+    would blindly re-admit A's content); the CAS fold must union them."""
+    from data_migration_validation_spark.plans.novelty import NoveltyFilter
+
+    a = NoveltyFilter(str(tmp_path / "nv"), n_buckets=1, bloom_bits=1 << 10)
+    b = NoveltyFilter(str(tmp_path / "nv"), n_buckets=1, bloom_bits=1 << 10)
+    bits, k = a.bloom_bits, a.bloom_k
+    fa = np.array([111], dtype=np.uint64)
+    fb = np.array([222], dtype=np.uint64)
+    add_a = np.zeros(bits // 8, dtype=np.uint8)
+    _set_bits(add_a, _positions(fa, bits, k))
+    add_b = np.zeros(bits // 8, dtype=np.uint8)
+    _set_bits(add_b, _positions(fb, bits, k))
+
+    b._load_blooms()  # stale (empty) cache, primed before A's fold
+    a._save_bloom(0, add_a, epoch=0)
+    b._save_bloom(0, add_b, epoch=1)  # must NOT clobber A's bits
+
+    merged = b._load_blooms(refresh=True)[0]
+    assert _test_bits(merged, _positions(fa, bits, k)).all()
+    assert _test_bits(merged, _positions(fb, bits, k)).all()
+    assert b._bloom_cache[0][1] == 1  # head advanced to max folded epoch
+
+
+def test_blooms_for_refreshes_stale_head_and_drops_uncovered(tmp_path):
+    """_blooms_for must only hand out blooms whose head covers the
+    caller's committed epochs: a cache that predates another writer's
+    fold refreshes from the store; a bloom that STILL cannot cover (e.g.
+    legacy untagged bits) is omitted, routing its bucket to the exact
+    check."""
+    from data_migration_validation_spark.plans.novelty import NoveltyFilter
+
+    a = NoveltyFilter(str(tmp_path / "nv"), n_buckets=1, bloom_bits=1 << 10)
+    bits, k = a.bloom_bits, a.bloom_k
+    add = np.zeros(bits // 8, dtype=np.uint8)
+    _set_bits(add, _positions(np.array([7], dtype=np.uint64), bits, k))
+    a._save_bloom(0, add, epoch=0)
+    assert 0 in a._blooms_for({0})
+
+    # another process folds epoch 1 bits — a's cache is now stale
+    other = NoveltyFilter(str(tmp_path / "nv"), n_buckets=1, bloom_bits=1 << 10)
+    add2 = np.zeros(bits // 8, dtype=np.uint8)
+    _set_bits(add2, _positions(np.array([9], dtype=np.uint64), bits, k))
+    other._save_bloom(0, add2, epoch=1)
+
+    got = a._blooms_for({0, 1})  # must refresh, not trust the stale cache
+    assert 0 in got
+    assert _test_bits(got[0], _positions(np.array([9], dtype=np.uint64), bits, k)).all()
+
+    # legacy/untagged bloom (head=-1) can never cover a committed epoch
+    a.store.write("fpb0", a._encode(add, -1))
+    a._bloom_cache = None  # fresh process: only the store's tag to go on
+    assert a._blooms_for({0, 1}) == {}
+    # ...but with no committed history at all it is usable as-is
+    assert 0 in a._blooms_for(set())
+
+
+def test_second_replayer_stale_cache_does_not_readmit(spark, tmp_path):
+    """End-to-end two-replayer scenario from the round-4 advice: engine A
+    folds epoch 0, engine B (same table) folds epoch 1, then A — whose
+    bloom cache predates B's fold — sees epoch 1's content re-delivered.
+    A stale-cache bloom MISS would skip the exact check and re-admit;
+    the head check must force a refresh and drop the duplicate."""
+    eng_a = _engine(spark, tmp_path, name="shared")
+    eng_b = _engine(spark, tmp_path, name="shared")
+    eng_a.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/a", 1, "alpha text")], SCHEMA), 0
+    )
+    eng_b.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/b", 2, "beta text", 1)], SCHEMA), 1
+    )
+    st = eng_a.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/c", 3, "beta text", 2)], SCHEMA), 2
+    )
+    assert st.novelty_dropped == 1
+    assert _urls(eng_a) == {"u/a", "u/b"}
+    # and the interleaved folds unioned — A's epoch-0 bits survived B's fold
+    st = eng_b.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/d", 4, "alpha text", 3)], SCHEMA), 3
+    )
+    assert st.novelty_dropped == 1
+
+
+def test_novelty_mode_pinned_per_table(spark, tmp_path):
+    """Exact and minhash write incompatible index schemas — reopening a
+    table with the other mode (or other minhash shape params) must raise,
+    not silently mix them."""
+    eng = _engine(spark, tmp_path, name="pin")
+    eng.apply_epoch(spark.createDataFrame([_ev("I", "u/a", 1, "pinme")], SCHEMA), 0)
+
+    eng2 = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "pin"),
+        checkpoint_path=str(tmp_path / "pin-ckpt"),
+        num_buckets=4,
+        compact_every=None,
+        novelty_filter="minhash",
+        novelty_buckets=4,
+        novelty_bloom_bits=1 << 12,
+    )
+    with pytest.raises(ValueError, match="incompatible index schemas"):
+        eng2.apply_epoch(
+            spark.createDataFrame([_ev("I", "u/b", 2, "other", 1)], SCHEMA), 1
+        )
+
+    # same mode, different banding shape → also refused
+    eng3 = _engine_nd(spark, tmp_path, name="pin2")
+    eng3.apply_epoch(spark.createDataFrame([_ev("I", "u/a", 1, BASE)], SCHEMA), 0)
+    nov = eng3.novelty
+    with pytest.raises(ValueError, match="incompatible index schemas"):
+        nov._mode_pinned = None
+        nov._ensure_mode("minhash", num_perm=16, bands=8, shingle_k=3)

@@ -397,6 +397,12 @@ def test_publish_conflict_restages_and_succeeds(spark, tmp_path):
         "https://a.example.com/2": "de",
         "https://a.example.com/3": "en",
     }
+    # audit metrics recorded exactly ONCE for the epoch despite two
+    # attempts — per-attempt appends would double every audit_* row
+    m = eng.ckpt.metrics()
+    e1 = m[(m["stage"] == "audit") & (m["epoch"] == 1)]
+    assert e1[e1["metric"] == "audit_rejected"]["value"].tolist() == [0.0]
+    assert e1["metric"].value_counts().max() == 1
 
 
 def test_inline_audit_keeps_approx_duplicate_signal(spark, tmp_path):
