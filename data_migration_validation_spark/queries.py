@@ -1599,8 +1599,26 @@ FROM ({union})
 
 from data_migration_validation_spark.queries_corpus import CORPUS_REGISTRY  # noqa: E402
 
+# The external driver verifies the FIRST 50 entries (dict order) against
+# their DuckDB oracles. Round 4's registry grew to 56 and the last 6 —
+# including never-verified new operators — silently fell out of the
+# window. Two defenses now: (1) oracle-sharing twins are collapsed into
+# cross-checked single entries (see queries_corpus._assert_twin) so the
+# total is exactly 50, asserted below; (2) entries are ordered by
+# verification priority — newest / flagship first, long-stable corpus
+# projections last — so any future overflow sheds the safest rows.
+DRIVER_WINDOW = 50
+
 REGISTRY: dict[str, tuple] = {
-    **CORPUS_REGISTRY,
+    # -- newest + flagship validation surfaces (round-4 verdict: these
+    #    must hold a window slot) ---------------------------------------
+    "val_table_checksum": (val_table_checksum, _checksum_sql()),
+    "val_agg_compare": (val_agg_compare, _agg_compare_sql()),
+    "reconcile_cogroup": (reconcile_cogroup, _VAL_ORACLES["reconcile_cogroup"]),
+    "val_signoff": (val_signoff, _VAL_ORACLES["val_signoff"]),
+    "val_proof_topk": (val_proof_topk, _VAL_ORACLES["val_proof_topk"]),
+    "val_check_summary": (val_check_summary, _VAL_ORACLES["val_check_summary"]),
+    # -- CDC engine ------------------------------------------------------
     "cdc_final_state": (cdc_final_state, cdc_final_state_oracle()),
     "cdc_final_state_audited": (cdc_final_state_audited, cdc_final_state_oracle()),
     "cdc_novel_state": (cdc_novel_state, cdc_novel_state_oracle()),
@@ -1610,11 +1628,13 @@ REGISTRY: dict[str, tuple] = {
     "cdc_envelope_parse": (cdc_envelope_parse, cdc_envelope_parse_oracle()),
     "cdc_patch_state": (cdc_patch_state, cdc_patch_state_oracle()),
     "lww_events": (lww_events, lww_events_oracle()),
+    # -- event analytics --------------------------------------------------
     "windowed_event_stats": (windowed_event_stats, windowed_event_stats_oracle()),
     "session_event_stats": (session_event_stats, session_event_stats_oracle()),
     "evt_asof_user_state": (evt_asof_user_state, evt_asof_user_state_oracle()),
     "evt_range_after_error": (evt_range_after_error, evt_range_after_error_oracle()),
     "rollup_event_stats": (rollup_event_stats, rollup_event_stats_oracle()),
+    # -- migration validation (reference O1-O14) --------------------------
     "val_column_profile": (val_column_profile, val_column_profile_oracle()),
     "val_drift_psi": (val_drift_psi, val_drift_psi_oracle()),
     "val_row_counts": (val_row_counts, _VAL_ORACLES["val_row_counts"]),
@@ -1626,10 +1646,12 @@ REGISTRY: dict[str, tuple] = {
     "val_null_summary": (val_null_summary, _VAL_ORACLES["val_null_summary"]),
     "val_format_violations": (val_format_violations, _VAL_ORACLES["val_format_violations"]),
     "val_schema_comparison": (val_schema_comparison, _VAL_ORACLES["val_schema_comparison"]),
-    "val_signoff": (val_signoff, _VAL_ORACLES["val_signoff"]),
-    "val_proof_topk": (val_proof_topk, _VAL_ORACLES["val_proof_topk"]),
-    "val_check_summary": (val_check_summary, _VAL_ORACLES["val_check_summary"]),
-    "val_table_checksum": (val_table_checksum, _checksum_sql()),
-    "val_agg_compare": (val_agg_compare, _agg_compare_sql()),
-    "reconcile_cogroup": (reconcile_cogroup, _VAL_ORACLES["reconcile_cogroup"]),
+    # -- corpus / training-data pipeline (long-stable, safest to shed) ----
+    **CORPUS_REGISTRY,
 }
+
+assert len(REGISTRY) <= DRIVER_WINDOW, (
+    f"REGISTRY has {len(REGISTRY)} entries but the driver only verifies "
+    f"the first {DRIVER_WINDOW} — collapse oracle-sharing twins "
+    f"(queries_corpus._assert_twin) instead of overflowing the window"
+)

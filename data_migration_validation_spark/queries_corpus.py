@@ -344,11 +344,13 @@ _LANG_STRUCTS = ", ".join(
     + "'}"
     for lang, markers in LANG_MARKERS.items()
 )
+_LANG_CASE = (
+    f"CASE WHEN struct_extract(list_max([{_LANG_STRUCTS}]), 'hits') > 0 "
+    f"THEN struct_extract(list_max([{_LANG_STRUCTS}]), 'lang') "
+    f"ELSE 'und' END"
+)
 TEXT_LANG_ID_SQL = f"""
-SELECT doc_id,
-       CASE WHEN struct_extract(list_max([{_LANG_STRUCTS}]), 'hits') > 0
-            THEN struct_extract(list_max([{_LANG_STRUCTS}]), 'lang')
-            ELSE 'und' END AS lang_guess
+SELECT doc_id, {_LANG_CASE} AS lang_guess
 FROM documents
 """
 
@@ -436,6 +438,36 @@ SELECT bigram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 FROM bg GROUP BY bigram
 ORDER BY n_occurrences DESC, bigram
 LIMIT {VOCAB_K}
+"""
+
+
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-slot registry entry covering corpus_vocab_topk (n=1) AND
+    corpus_bigram_topk (n=2): both top-K lists tagged with their n and
+    unioned, so each keeps its driver oracle without its own slot (the
+    56-entry registry overflowed the driver's 50-query window in round
+    4). The two underlying plans are unchanged — still two-phase hash
+    aggregate + TakeOrderedAndProject each, plan-shape-pinned in
+    tests/test_sampling.py."""
+    uni = corpus_vocab_topk(spark, sf_dir).select(
+        F.lit(1).alias("n"),
+        F.col("token").alias("ngram"),
+        "n_occurrences",
+        "n_docs",
+    )
+    bi = corpus_bigram_topk(spark, sf_dir).select(
+        F.lit(2).alias("n"),
+        F.col("bigram").alias("ngram"),
+        "n_occurrences",
+        "n_docs",
+    )
+    return uni.unionByName(bi)
+
+
+CORPUS_NGRAM_SQL = f"""
+SELECT 1 AS n, token AS ngram, n_occurrences, n_docs FROM ({CORPUS_VOCAB_SQL})
+UNION ALL
+SELECT 2 AS n, bigram AS ngram, n_occurrences, n_docs FROM ({CORPUS_BIGRAM_SQL})
 """
 
 
@@ -528,6 +560,41 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_FINGERPRINT_SQL = f"""
 SELECT doc_id, {H.str_fold_sql('text')} AS fingerprint FROM documents
+"""
+
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-slot registry entry covering text_stats + text_lang_id +
+    text_fingerprint: all three are pure per-document projections over
+    the same scan, so the natural 100-TB plan is ONE wide codegen
+    projection anyway — the split entries only existed as separate
+    oracle rows, and 56 entries overflowed the driver's 50-query
+    verification window (round-4 verdict). Every expression of the
+    three originals appears here, so each keeps driver verification."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        word_token_count(t).alias("n_word_tokens"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        H.str_fold(t).alias("fingerprint"),
+    )
+
+
+TEXT_PROFILE_SQL = f"""
+SELECT doc_id,
+       {_N_TOKENS} AS n_tokens,
+       {_WORDS} + {_PUNCTS} AS n_word_tokens,
+       round({_SW_RATIO}, 6) AS stopword_ratio,
+       round({_PUNCT_RATIO}, 6) AS punct_ratio,
+       {_QUALITY} AS quality,
+       {_LANG_CASE} AS lang_guess,
+       {H.str_fold_sql('text')} AS fingerprint
+FROM documents
 """
 
 
@@ -1023,30 +1090,70 @@ FROM per
 """
 
 
+def _assert_twin(a: DataFrame, b: DataFrame, label: str) -> None:
+    """Row-for-row identity between two plans that claim the same
+    semantics — the in-slot cross-check that lets oracle-sharing twins
+    share one registry entry without losing driver verification."""
+    n = a.exceptAll(b).unionByName(b.exceptAll(a)).count()
+    if n:
+        raise AssertionError(f"{label}: twin plans differ on {n} rows")
+
+
+def dedup_clusters_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for BOTH connected-components algorithms in one
+    slot: min-label propagation AND large-star/small-star must produce
+    identical (member, cluster) labels, cross-checked in-plan, then one
+    result goes to the shared recursive-CTE oracle. Collapsed from two
+    entries so the registry fits the driver's 50-query window (round-4
+    verdict)."""
+    a = dedup_clusters(spark, sf_dir)
+    b = dedup_clusters_star(spark, sf_dir)
+    _assert_twin(a, b, "dedup_clusters: min-label vs large-star/small-star")
+    return a
+
+
+def ann_ivf_topk_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for the inline IVF operator AND the persisted IVF
+    index in one slot: the index's partition-pruned answer must equal
+    the inline operator's rows exactly (cross-checked in-plan), and the
+    inline rows go to the oracle. Collapsed from two entries for the
+    driver's 50-query window."""
+    inline = ann_ivf_topk(spark, sf_dir)
+    idx = ann_ivf_index_topk(spark, sf_dir)
+    _assert_twin(inline, idx, "ann_ivf: inline vs persisted index")
+    return inline
+
+
+def ann_lsh_topk_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same one-slot contract as ann_ivf_topk_both, for the LSH pair."""
+    inline = ann_lsh_topk(spark, sf_dir)
+    idx = ann_lsh_index_topk(spark, sf_dir)
+    _assert_twin(inline, idx, "ann_lsh: inline vs persisted index")
+    return inline
+
+
+# Exactly this many entries may be registered repo-wide: the external
+# driver verifies the FIRST 50 registry entries against their oracles,
+# and round 4 proved that overflowing the window silently un-verifies
+# whatever lands past it. queries.py asserts the combined total.
 CORPUS_REGISTRY: dict[str, tuple] = {
     "media_decode_stats": (media_decode_stats, MEDIA_DECODE_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
-    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
-    "dedup_clusters_star": (dedup_clusters_star, DEDUP_CLUSTERS_SQL),
+    "dedup_clusters": (dedup_clusters_both, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
-    "text_stats": (text_stats, TEXT_STATS_SQL),
-    "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
-    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
-    "corpus_vocab_topk": (corpus_vocab_topk, CORPUS_VOCAB_SQL),
-    "corpus_bigram_topk": (corpus_bigram_topk, CORPUS_BIGRAM_SQL),
+    "text_profile": (text_profile, TEXT_PROFILE_SQL),
+    "corpus_ngram_topk": (corpus_ngram_topk, CORPUS_NGRAM_SQL),
     "corpus_sample_stratified": (corpus_sample_stratified, _corpus_sample_sql()),
     "corpus_clean_pipeline": (corpus_clean_pipeline, _corpus_clean_sql()),
     "corpus_pii_scrub": (corpus_pii_scrub, _pii_sql()),
     "corpus_contamination": (corpus_contamination, CORPUS_CONTAM_SQL),
     "corpus_repetition": (corpus_repetition, _repetition_sql()),
     "ann_brute_topk": (ann_brute_topk, ANN_BRUTE_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
-    "ann_ivf_index_topk": (ann_ivf_index_topk, ANN_IVF_SQL),
-    "ann_lsh_index_topk": (ann_lsh_index_topk, ANN_LSH_SQL),
+    "ann_lsh_topk": (ann_lsh_topk_both, ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk_both, ANN_IVF_SQL),
     "corpus_url_canonical": (corpus_url_canonical, _url_canon_sql()),
     "warc_parse": (warc_parse, WARC_PARSE_SQL),
 }
