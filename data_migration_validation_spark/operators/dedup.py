@@ -463,10 +463,25 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     block_col: str | None = None,
+    max_block: int | None = None,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """(a, b, cos) pairs with cosine ≥ threshold, blocked (e.g. on label)
     to keep the quadratic term bounded; the scale path is LSH bucketing
-    (operators/similarity.py)."""
+    (operators/similarity.py).
+
+    Same guard rails as ``ngram_jaccard_pairs``: ``block_col=None`` is a
+    full O(n²) cross join, only sane as a tiny oracle baseline, so it
+    requires an explicit ``allow_unblocked=True``; ``max_block`` DROPS
+    blocks larger than the cap from pair expansion (a hot block — one
+    dominant label — would otherwise quadratically swamp the job; those
+    pairs belong to the LSH path)."""
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "embedding_neardup_pairs with block_col=None is a full O(n^2) "
+            "cross join; pass block_col (e.g. label) or opt in explicitly "
+            "with allow_unblocked=True for small oracle baselines"
+        )
     # per-ROW norm, hoisted: the pair expression then costs one dot
     # product instead of three aggregates. Same operations in the same
     # order as cosine_sim (dot / (sqrt(ssq_a) * sqrt(ssq_b))), so the
@@ -481,6 +496,11 @@ def embedding_neardup_pairs(
         norm.alias("_n"),
         *( [F.col(block_col).alias("_blk")] if block_col else [F.lit(0).alias("_blk")] ),
     )
+    if max_block is not None:
+        w = Window.partitionBy("_blk")
+        base = base.withColumn("_blk_n", F.count(F.lit(1)).over(w)).where(
+            F.col("_blk_n") <= F.lit(max_block)
+        ).drop("_blk_n")
     a = base.select("_blk", F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
     b = base.select("_blk", F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
     dot = F.aggregate(

@@ -110,6 +110,7 @@ class CDCApplyEngine:
         novelty_filter: bool | str = False,
         novelty_buckets: int = 16,
         novelty_bloom_bits: int = 1 << 20,
+        novelty_max_bucket: int | None = None,
     ):
         """``in_batch_prededup``: add a key-hash pre-shuffle that dedups the
         batch BEFORE text extraction and the merge. Worth it for backfill /
@@ -199,6 +200,10 @@ class CDCApplyEngine:
         else:
             self.novelty = None
             self.novelty_mode = None
+        # minhash mode only: in-epoch band buckets over this size skip the
+        # O(m²) pairwise scan and collapse to first-seen (skew guard for
+        # near-identical variant floods); None = exact semantics
+        self.novelty_max_bucket = novelty_max_bucket
         self.registry = SchemaRegistry()
         snap = self.lake.current_snapshot()
         if snap is not None:
@@ -408,11 +413,13 @@ class CDCApplyEngine:
                 # an out-of-order replay must not see its own or later
                 # epochs' fingerprints as history
                 committed = {e for e in self.lake.epochs_applied() if e < epoch}
-                admit = (
-                    self.novelty.admit_neardup
-                    if self.novelty_mode == "minhash"
-                    else self.novelty.admit
-                )
+                extra_kw = {}
+                if self.novelty_mode == "minhash":
+                    admit = self.novelty.admit_neardup
+                    if self.novelty_max_bucket is not None:
+                        extra_kw["max_bucket"] = self.novelty_max_bucket
+                else:
+                    admit = self.novelty.admit
                 winners, nstats = admit(
                     self.spark,
                     winners,
@@ -420,6 +427,7 @@ class CDCApplyEngine:
                     committed,
                     text_col="text",
                     key_col=key,
+                    **extra_kw,
                 )
                 novelty_dropped = nstats.dropped
             target = self.registry.merge(winners.drop(BUCKET_COL).schema)

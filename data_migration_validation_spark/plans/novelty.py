@@ -120,11 +120,31 @@ def _set_bits(bitmap: np.ndarray, pos: np.ndarray) -> None:
         )
 
 
+def _obs_metric(obs, key: str, default: int) -> int:
+    """Read an Observation metric, treating an ELIDED observed node as
+    ``default``. AQE's empty-relation propagation removes a subtree whose
+    shuffle produced zero rows — taking any CollectMetrics in it along —
+    and the Observation then completes with an empty row that pyspark's
+    ``get`` cannot convert (Py4JJavaError from toPyRow). For the plans
+    here, elision ⇔ the subtree was empty, so the caller supplies what
+    the metric would have been over zero rows."""
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        v = obs.get[key]
+    except Py4JJavaError:
+        return int(default)
+    return int(default) if v is None else int(v)
+
+
 @dataclass
 class NoveltyStats:
     candidates: int  # upsert winners after in-epoch content dedup
     admitted: int
     dropped: int  # candidates − admitted (content seen in earlier epochs)
+    # near-dup mode only: in-epoch band buckets over max_bucket that were
+    # collapsed to first-seen instead of pairwise-scanned (0 = none/off)
+    overflow_buckets: int = 0
 
 
 class NoveltyFilter:
@@ -506,6 +526,7 @@ class NoveltyFilter:
         bands: int = 4,
         shingle_k: int = 3,
         sim_min_matches: int = 4,
+        max_bucket: int | None = None,
     ) -> tuple[DataFrame, NoveltyStats]:
         """Near-duplicate novelty: drop an upsert winner iff any EARLIER
         seen winner (same epoch by (order_cols, key), or any committed
@@ -529,6 +550,20 @@ class NoveltyFilter:
         index is partitioned by band-hash bucket, and the join carries
         bloom hits × matching index partitions only. Storage is
         ``bands`` rows of (band key + num_perm longs) per seen winner.
+        Candidate/admitted counts ride the index-write action as
+        Observations (same as ``admit``) — no extra Spark jobs; at epoch
+        scale each extra job is pure fixed latency.
+
+        ``max_bucket`` bounds the in-epoch quadratic term: exact
+        pre-dedup keeps IDENTICAL floods to one band row, but a flood of
+        near-identical VARIANTS (same band keys, distinct fingerprints)
+        swells a bucket and its O(m²) in-array similarity scan. A bucket
+        over the cap skips the pairwise scan and collapses to its
+        first-seen member — for a single-band-key variant flood that is
+        the cluster-collapse semantics anyway, just without per-pair
+        confirmation. Overflowed buckets are counted in
+        ``NoveltyStats.overflow_buckets``. Default None = exact
+        semantics (what the cdc_novel_neardup_state oracle checks).
         """
         from data_migration_validation_spark.functions.hashing import (
             minhash_signature,
@@ -544,12 +579,24 @@ class NoveltyFilter:
         dels = winners.where(F.col(deleted_col))
         ups = winners.where(~F.col(deleted_col))
 
-        # exact in-epoch pre-dedup (first occurrence wins)
+        from pyspark.sql import Observation
+
+        # exact in-epoch pre-dedup (first occurrence wins); the candidate
+        # count (incl. in-epoch dups) rides the index write below
         w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(
             *[F.col(c).asc() for c in order_cols], F.col(key_col).asc()
         )
+        obs_cand, obs_adm, obs_over = Observation(), Observation(), Observation()
         tagged = ups.withColumn("_rn", F.row_number().over(w)).persist()
-        firsts = tagged.where(F.col("_rn") == 1).drop("_rn")
+        firsts = (
+            tagged.observe(
+                obs_cand,
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("_rn") == 1, 1)).alias("n_firsts"),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
         # signatures + band rows (hoisted projections: interpreted HOFs
         # get no common-subexpression elimination — same lesson as
@@ -606,16 +653,29 @@ class NoveltyFilter:
                 F.struct(ord_struct.alias("_o"), F.col(key_col).alias("_k"), F.col("_sig").alias("_sig"))
             ).alias("_ms")
         )
+        pairwise_drop = (
+            "transform(filter(_ms, m -> exists(_ms, "
+            f"e -> e._o < m._o AND {sim_pred_sql})), m -> m._k)"
+        )
+        if max_bucket is not None:
+            # skew cap: an over-cap bucket (near-identical variant flood
+            # sharing one band key) skips the O(m²) scan and collapses to
+            # its first-seen member. Counted via the same index-write
+            # action (members sits inside the dropped-keys lineage).
+            members = members.observe(
+                obs_over,
+                F.sum((F.size("_ms") > int(max_bucket)).cast("long")).alias("n"),
+            ).withColumn("_mino", F.expr("array_min(transform(_ms, m -> m._o))"))
+            drop_expr = (
+                f"CASE WHEN size(_ms) > {int(max_bucket)} "
+                f"THEN transform(filter(_ms, m -> m._o > _mino), m -> m._k) "
+                f"ELSE {pairwise_drop} END"
+            )
+        else:
+            drop_expr = pairwise_drop
         in_epoch_dropped = (
             members.where(F.size("_ms") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(filter(_ms, m -> exists(_ms, "
-                        f"e -> e._o < m._o AND {sim_pred_sql})), m -> m._k)"
-                    )
-                ).alias(key_col)
-            )
+            .select(F.explode(F.expr(drop_expr)).alias(key_col))
             .distinct()
         )
 
@@ -646,20 +706,52 @@ class NoveltyFilter:
         admitted = firsts.join(dropped, key_col, "left_anti")
 
         # record: index rows for ALL seen winners (post-exact-dedup),
-        # then bloom bits — same trust/crash contract as exact mode
+        # then bloom bits — same trust/crash contract as exact mode.
+        # The write plan LEFT-joins the dropped keys purely so the
+        # admitted count (and the candidate count up the tagged lineage,
+        # plus the overflow count inside dropped) ride this one action as
+        # Observations — the marker column is projected away before the
+        # rows land, so the stored index is unchanged. band_id == 0
+        # filters the count to one band row per key.
+        marked = band_rows.join(
+            dropped.withColumn("_dropped", F.lit(True)), key_col, "left"
+        )
         (
-            band_rows.select(FP_COL, FPB_COL, "band_id", "band_key", "_sig")
+            marked.observe(
+                obs_adm,
+                F.count(
+                    F.when(
+                        (F.col("band_id") == 0) & F.col("_dropped").isNull(), 1
+                    )
+                ).alias("n"),
+            )
+            .select(FP_COL, FPB_COL, "band_id", "band_key", "_sig")
             .write.mode("overwrite")
             .partitionBy(FPB_COL)
             .parquet(os.path.join(self.index_dir, f"epoch={epoch}"))
         )
         self._update_blooms(band_rows, epoch)
 
-        n_cand = tagged.count()
-        n_admitted = admitted.count()
+        # An observation inside the dropped-keys subtree (obs_adm's join
+        # marker, obs_over's bucket scan) is ELIDED when AQE's empty-
+        # relation propagation removes that subtree — which happens
+        # exactly when there were NO drops. So a missing metric is not an
+        # error: it means empty, and the fallbacks below encode that
+        # (admitted = all firsts, overflow = 0). Even obs_cand on the
+        # written band_rows lineage is elided when the epoch has ZERO
+        # upserts (all-deletes) — default 0 is exactly right there.
+        n_cand = _obs_metric(obs_cand, "n", default=0)
+        n_firsts = _obs_metric(obs_cand, "n_firsts", default=0)
+        n_admitted = _obs_metric(obs_adm, "n", default=n_firsts)
+        n_over = (
+            _obs_metric(obs_over, "n", default=0) if max_bucket is not None else 0
+        )
         self._held = [winners, tagged, band_rows]
         return dels.unionByName(admitted), NoveltyStats(
-            candidates=n_cand, admitted=n_admitted, dropped=n_cand - n_admitted
+            candidates=n_cand,
+            admitted=n_admitted,
+            dropped=n_cand - n_admitted,
+            overflow_buckets=n_over,
         )
 
     def _read_index_neardup(

@@ -110,6 +110,51 @@ def test_ngram_jaccard_max_block_drops_hot_blocks(spark):
     assert uncapped.count() > len(got)  # the cap really removed the hot block
 
 
+def test_embedding_neardup_refuses_unblocked_call(spark):
+    """Same contract as ngram_jaccard_pairs: block_col=None is a full
+    O(n^2) cross join and must fail loudly without an explicit opt-in."""
+    from data_migration_validation_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="cross\\s*join|O\\(n"):
+        embedding_neardup_pairs(df, "vec_id", "embedding")
+
+    got = embedding_neardup_pairs(
+        df, "vec_id", "embedding", allow_unblocked=True
+    )
+    assert got.count() > 0  # identical i%3 vectors pair up
+
+
+def test_embedding_neardup_max_block_drops_hot_blocks(spark):
+    """A dominant label block is dropped from pair expansion, small
+    blocks still pair — mirroring ngram_jaccard_pairs' max_block."""
+    from data_migration_validation_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rows = [(i, [1.0, 0.0], "hot") for i in range(50)]
+    rows += [(100 + i, [0.0, 1.0], "cold") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    capped = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, block_col="label", max_block=10
+    )
+    got = capped.collect()
+    assert got, "small cold block should still produce pairs"
+    assert all(r["a"] >= 100 and r["b"] >= 100 for r in got)
+
+    uncapped = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, block_col="label"
+    )
+    assert uncapped.count() > len(got)
+
+
 def test_possible_rekeys_hot_value_guard(spark):
     """A shared default attribute value (count > max_freq) is excluded
     from the rekey join — it would be quadratic in its frequency — and

@@ -485,3 +485,92 @@ def test_novelty_mode_pinned_per_table(spark, tmp_path):
     with pytest.raises(ValueError, match="incompatible index schemas"):
         nov._mode_pinned = None
         nov._ensure_mode("minhash", num_perm=16, bands=8, shingle_k=3)
+
+
+# -- near-dup scale shape: observation-folded counts + bucket skew cap ---------
+
+
+def test_neardup_counts_ride_index_write(spark, tmp_path, monkeypatch):
+    """admit_neardup's candidate/admitted counts must ride the index-write
+    action as Observations — zero DataFrame.count() jobs (the round-4
+    verdict flagged two extra per-epoch jobs; per-job fixed cost dominates
+    novelty overhead at epoch scale)."""
+    from pyspark.sql import DataFrame
+
+    eng = _engine_nd(spark, tmp_path, name="obsnd")
+    ev0 = spark.createDataFrame(
+        [_ev("I", "u/a", 1, BASE), _ev("I", "u/b", 2, OTHER)], SCHEMA
+    )
+    eng.apply_epoch(ev0, 0)  # seed committed history so the join path runs
+
+    calls = {"n": 0}
+    real_count = DataFrame.count
+
+    def counting(self):
+        calls["n"] += 1
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting)
+    committed = {e for e in eng.lake.epochs_applied() if e < 1}
+    winners = spark.createDataFrame(
+        [
+            _ev("I", "u/c", 10, BASE + " footer", 1),   # near-dup of u/a
+            _ev("I", "u/d", 11, "totally fresh words here", 1),
+            _ev("I", "u/d2", 12, "totally fresh words here", 1),  # in-epoch exact dup
+        ],
+        SCHEMA,
+    ).select(
+        "url", "warc_ts", "seq",
+        F.decode(F.col("payload.html"), "utf-8").alias("text"),
+        F.lit(False).alias("deleted"),
+    ).withColumn("text", F.regexp_replace(F.regexp_replace("text", "^<html><p>", ""), "</p></html>$", ""))
+    out, stats = eng.novelty.admit_neardup(spark, winners, 1, committed)
+    assert calls["n"] == 0, f"admit_neardup ran {calls['n']} count() jobs"
+    assert stats.candidates == 3
+    assert stats.admitted == 1  # u/c near-dup dropped, u/d2 exact in-epoch dup
+    assert stats.dropped == 2
+    assert {r["url"] for r in out.collect()} == {"u/d"}
+    eng.novelty.release()
+
+
+def test_neardup_max_bucket_collapses_variant_flood(spark, tmp_path):
+    """A flood of near-identical VARIANTS (distinct fingerprints, shared
+    band keys) must not quadratically swell the in-epoch bucket scan:
+    with max_bucket set, over-cap buckets collapse to their first-seen
+    member and are counted in overflow_buckets; small buckets keep exact
+    pairwise semantics."""
+    eng = _engine_nd(spark, tmp_path, name="flood", novelty_max_bucket=8)
+    flood = [
+        # seq 10..39 keeps warc_ts monotone (seconds = seq % 60), so
+        # u/f0 is the first-seen member by the (warc_ts, seq) order
+        _ev("I", f"u/f{i}", 10 + i, BASE + f" variant{i // 6}", 0)
+        for i in range(30)
+    ]
+    # control: unrelated docs far under the cap, not near-dups of each other
+    flood.append(_ev("I", "u/x", 1, OTHER, 0))
+    st = eng.apply_epoch(spark.createDataFrame(flood, SCHEMA), 0)
+    assert st.novelty_dropped >= 24  # flood collapsed, not admitted wholesale
+    urls = _urls(eng)
+    assert "u/x" in urls
+    assert "u/f0" in urls  # first-seen flood member survives
+    assert len(urls) <= 7  # 30 variants collapse to at most a handful
+
+    # the overflow accounting is surfaced by the direct API
+    committed = set()
+    winners = spark.createDataFrame(
+        [_ev("I", f"u/g{i}", 200 + i, BASE + " same same", 1) for i in range(12)],
+        SCHEMA,
+    ).select(
+        "url", "warc_ts", "seq",
+        F.decode(F.col("payload.html"), "utf-8").alias("text"),
+        F.lit(False).alias("deleted"),
+    )
+    nv = eng.novelty
+    out, stats = nv.admit_neardup(
+        spark, winners, 99, committed, max_bucket=4
+    )
+    # 12 EXACT copies collapse via the exact pre-dedup (1 candidate bucket
+    # row per band) — no overflow; candidates include the in-epoch dups
+    assert stats.candidates == 12
+    assert stats.admitted == 1
+    nv.release()
