@@ -2,11 +2,13 @@
 metadata, processed in Arrow-batched ``mapInPandas`` pipelines.
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-iteration — is real and tested; the actual codecs (PIL/ffmpeg/soundfile)
-are NOT in this container, so decode is stubbed two ways:
+iteration — is real and tested, with two codec paths:
 
-* ``codec="real"`` raises NotImplementedError behind an import-try — the
-  clearly-marked seam where a production deployment plugs the library in;
+* ``codec="real"``: images decode through Pillow when it is importable
+  (decode stats over decoded pixels, resize via PIL + PNG re-encode);
+  without Pillow — as in this container — the call raises
+  NotImplementedError at plan time. Audio/video additionally need
+  ffmpeg/soundfile and keep the NotImplementedError seam.
 * ``codec="fake"`` (default) is a deterministic byte-level "decode"
   (header parse + byte statistics) so tests and oracles have exact
   expected values.
@@ -64,15 +66,32 @@ MEDIA_SCHEMA = StructType(
 )
 
 
-def _require_real_codec(kind: str) -> None:
-    try:  # the production seam: real codec libs are absent in this image
-        import PIL  # noqa: F401
+def _real_image_codec():
+    """The production seam: return PIL's Image module when the library is
+    importable (it's public and commonly installed), else raise. Images
+    are the only kind with a wired real codec; audio/video additionally
+    need ffmpeg/soundfile and stay behind the NotImplementedError."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
     except ImportError:
         raise NotImplementedError(
-            f"real {kind} decode requires codec libraries (PIL/ffmpeg/soundfile) "
-            "not present in this environment; use codec='fake' (deterministic "
-            "byte-level stand-in) or install the libraries"
+            "real image decode requires Pillow, which is not present in "
+            "this environment; use codec='fake' (deterministic byte-level "
+            "stand-in) or install Pillow"
         )
+
+
+def _require_real_codec(kind: str) -> None:
+    if kind == "image":
+        _real_image_codec()
+        return
+    raise NotImplementedError(
+        f"real {kind} decode requires codec libraries (ffmpeg/soundfile) "
+        "not present in this environment; use codec='fake' (deterministic "
+        "byte-level stand-in) or install the libraries"
+    )
 
 
 def synth_media(spark: SparkSession, n: int, kind: str = "image", num_partitions: int | None = None) -> DataFrame:
@@ -110,22 +129,45 @@ DECODE_STATS_SCHEMA = StructType(
 
 
 def decode_stats(df: DataFrame, id_col: str = "media_id", content_col: str = "content", codec: str = "fake") -> DataFrame:
-    """Byte-level "decode" statistics via mapInPandas: (id, n_bytes,
-    mean_byte). With codec='fake' this is the deterministic stand-in for
-    image decode + pixel stats; the batch/schema plumbing is identical to
-    a real decoder's."""
+    """Decode statistics via mapInPandas: (id, n_bytes, mean_byte).
+
+    codec='fake' (default, deterministic oracle path): stats over the raw
+    payload bytes. codec='real': Pillow-decoded pixel stats — n_bytes =
+    decoded pixel-buffer size, mean_byte = mean pixel byte. Same batch
+    shape, schema, and partitioning either way; the import happens inside
+    the task so executors fail as loudly as the driver if Pillow is
+    missing."""
     if codec == "real":
         _require_real_codec("image")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real":
+            import io
+
+            Image = _real_image_codec()
+
+            def stats(b):
+                if b is None:
+                    return 0, None
+                px = Image.open(io.BytesIO(bytes(b))).tobytes()
+                return len(px), (sum(px) / len(px)) if px else None
+
+        else:
+
+            def stats(b):
+                if b is None:
+                    return 0, None
+                b = bytes(b)
+                return len(b), (sum(b) / len(b)) if b else None
+
         for pdf in it:
-            content = pdf[content_col]
-            n = content.map(lambda b: len(b) if b is not None else 0)
-            mean = content.map(
-                lambda b: (sum(b) / len(b)) if b else None
-            )
+            pairs = [stats(b) for b in pdf[content_col]]
             yield pd.DataFrame(
-                {"media_id": pdf[id_col], "n_bytes": n, "mean_byte": mean}
+                {
+                    "media_id": pdf[id_col],
+                    "n_bytes": [p[0] for p in pairs],
+                    "mean_byte": [p[1] for p in pairs],
+                }
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, DECODE_STATS_SCHEMA)
@@ -147,23 +189,42 @@ def resize_images(
     target_h: int,
     codec: str = "fake",
 ) -> DataFrame:
-    """Image resize stage. fake codec: truncate/pad the payload to
-    target_w*target_h bytes — exercises the binary-out mapInPandas path."""
+    """Image resize stage. fake codec (default, deterministic): truncate/
+    pad the payload to target_w*target_h bytes — exercises the binary-out
+    mapInPandas path. real codec: Pillow decode → resize → PNG re-encode,
+    same schema and batch shape."""
     if codec == "real":
         _require_real_codec("image")
     size = target_w * target_h
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real":
+            import io
+
+            Image = _real_image_codec()
+
+            def rz(b):
+                if b is None:
+                    return None
+                img = Image.open(io.BytesIO(bytes(b)))
+                buf = io.BytesIO()
+                img.resize((target_w, target_h)).save(buf, format="PNG")
+                return buf.getvalue()
+
+        else:
+
+            def rz(b):
+                return (
+                    bytes(b)[:size].ljust(size, b"\0") if b is not None else None
+                )
+
         for pdf in it:
-            out = pdf["content"].map(
-                lambda b: bytes(b)[:size].ljust(size, b"\0") if b is not None else None
-            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": target_w,
                     "height": target_h,
-                    "content": out,
+                    "content": pdf["content"].map(rz),
                 }
             )
 

@@ -435,22 +435,36 @@ class LshIndex:
         import json
         import os
 
-        for t in range(n_tables):
-            (
-                df.select(id_col, vec_col)
-                # "b"-prefixed: a raw bit-string like 0101 would be
-                # type-inferred back from the directory name as the
-                # INTEGER 101, corrupting every bucket equality
-                .withColumn(
-                    "_bucket",
+        # ONE pass over the input: every table's bucket key is computed
+        # in a single projection and exploded to (t, _bucket) rows, then
+        # one write partitioned by (t, _bucket) lays out the exact same
+        # t=<table>/_bucket=<key> directories n_tables sequential scans
+        # used to. "b"-prefixed: a raw bit-string like 0101 would be
+        # type-inferred back from the directory name as the INTEGER 101,
+        # corrupting every bucket equality.
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
                     F.concat(
                         F.lit("b"), lsh_bucket_bits(F.col(vec_col), t, n_bits, dim)
-                    ),
+                    ).alias("_bucket"),
                 )
-                .write.partitionBy("_bucket")
-                .mode("overwrite")
-                .parquet(os.path.join(path, f"t={t}"))
+                for t in range(n_tables)
+            ]
+        )
+        (
+            df.select(id_col, vec_col, F.explode(tables).alias("_tb"))
+            .select(
+                id_col,
+                vec_col,
+                F.col("_tb.t").alias("t"),
+                F.col("_tb._bucket").alias("_bucket"),
             )
+            .write.partitionBy("t", "_bucket")
+            .mode("overwrite")
+            .parquet(path)
+        )
         with open(os.path.join(path, cls._META), "w") as f:
             json.dump(
                 {

@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 RECORD_SCHEMA = (
     "warc_file string, url string, warc_type string, warc_date string, "
@@ -79,13 +80,43 @@ def _parse_records(name: str, data: bytes):
     return out
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Parse every ``*.warc`` under ``path`` into records."""
+MAX_SEGMENT_BYTES = 1_500_000_000  # ~1.5 GB, headroom under binaryFile's 2 GB cap
+
+
+def read_warc(
+    spark: SparkSession, path: str, max_segment_bytes: int = MAX_SEGMENT_BYTES
+) -> DataFrame:
+    """Parse every ``*.warc`` under ``path`` into records.
+
+    Segment size bound: one whole segment is one ``binaryFile`` row, so a
+    segment must fit Spark's 2 GB binary-column hard cap AND transit
+    Arrow to Python in one piece. Common-Crawl-style ~1 GB segments are
+    fine; anything over ``max_segment_bytes`` fails HERE with the
+    offending paths — split those segments upstream — instead of deep
+    inside Spark with an opaque negative-length error. The check is a
+    metadata-only pass (column pruning keeps ``content`` out of the
+    scan)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(
-        os.path.join(path, "*.warc")
-    ).select("path", "content")
+    glob = os.path.join(path, "*.warc")
+    oversized = [
+        (r["path"], int(r["length"]))
+        for r in spark.read.format("binaryFile")
+        .load(glob)
+        .select("path", "length")
+        .where(F.col("length") > int(max_segment_bytes))
+        .collect()
+    ]
+    if oversized:
+        listing = ", ".join(f"{p} ({n} bytes)" for p, n in oversized[:5])
+        raise ValueError(
+            f"{len(oversized)} WARC segment(s) exceed max_segment_bytes="
+            f"{max_segment_bytes} (binaryFile holds a whole segment per row, "
+            f"hard-capped at 2 GB): {listing} — split these segments before "
+            f"ingest"
+        )
+
+    files = spark.read.format("binaryFile").load(glob).select("path", "content")
 
     def parse(batches):
         for pdf in batches:

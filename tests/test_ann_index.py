@@ -89,6 +89,31 @@ def test_lsh_index_matches_inline_operator(spark, tmp_path, emb, qvals):
     assert _rows(got) == _rows(want)
 
 
+def test_lsh_build_is_one_pass(spark, tmp_path, emb, qvals, monkeypatch):
+    """The build must write all n_tables hash tables in ONE job over the
+    input (explode to (t, _bucket) rows, one partitioned write) — the
+    round-4 verdict flagged the previous n_tables sequential full scans."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    calls = {"n": 0}
+    real = DataFrameWriter.parquet
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", counting)
+    idx = LshIndex.build(emb, str(tmp_path / "lsh1p"), n_tables=4, n_bits=8, dim=DIM)
+    assert calls["n"] == 1, f"build ran {calls['n']} write jobs"
+    # layout and answers unchanged
+    got = idx.topk(spark, qvals, k=K, probe_radius=1)
+    want = lsh_topk(
+        emb, _qcol(qvals), k=K, n_tables=4, n_bits=8, dim=DIM,
+        query_values=qvals, probe_radius=1,
+    )
+    assert _rows(got) == _rows(want)
+
+
 def test_lsh_query_plan_prunes_partitions(spark, tmp_path, emb, qvals):
     idx = LshIndex.build(emb, str(tmp_path / "lsh"), n_tables=2, n_bits=8, dim=DIM)
     out = idx.topk(spark, qvals, k=K, probe_radius=1)

@@ -35,9 +35,46 @@ def test_decode_stats_matches_python(spark):
 
 
 def test_decode_real_codec_is_cleanly_stubbed(spark):
+    """Without Pillow the real image path fails at PLAN time with a clear
+    message (skipped when Pillow is present — then the path is live and
+    test_real_codec_decodes_png covers it); audio/video always need
+    ffmpeg/soundfile."""
     media = synth_media(spark, 5)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_stats(media, codec="real")
+    from data_migration_validation_spark.operators.multimodal import sample_frames
+
     with pytest.raises(NotImplementedError, match="codec libraries"):
-        decode_stats(media, codec="real")
+        sample_frames(media, codec="real")
+
+
+def test_real_codec_decodes_png(spark):
+    """codec='real' decodes an actual PNG through Pillow: pixel-level
+    stats and a true resize. Runs wherever Pillow is installed; the fake
+    codec remains the deterministic oracle path."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import pandas as pd
+
+    def png_bytes(w, h, val):
+        img = PIL_Image.new("L", (w, h), color=val)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(0, png_bytes(4, 3, 7)), (1, png_bytes(8, 2, 200))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in decode_stats(df, codec="real").collect()}
+    assert got[0]["n_bytes"] == 4 * 3 and got[0]["mean_byte"] == 7.0
+    assert got[1]["n_bytes"] == 8 * 2 and got[1]["mean_byte"] == 200.0
+
+    rz = {r["media_id"]: r for r in resize_images(df, 2, 2, codec="real").collect()}
+    out = PIL_Image.open(io.BytesIO(bytes(rz[0]["content"])))
+    assert out.size == (2, 2)
 
 
 def test_resize_binary_roundtrip(spark):

@@ -84,3 +84,16 @@ def test_crlf_in_payload_does_not_split_records():
     recs = _parse_records("seg", data)
     assert len(recs) == 1
     assert recs[0][3] == body  # Content-Length framing, not delimiter search
+
+
+def test_oversized_segment_fails_with_clear_error(spark, tmp_path):
+    """A segment over the size bound must fail in read_warc with the
+    offending path — binaryFile hard-caps a row at 2 GB, and the whole
+    segment transits Arrow to Python, so the bound is enforced up front
+    (with a tiny max_segment_bytes standing in for the real 1.5 GB)."""
+    out = str(tmp_path / "segs")
+    synth_warc(_docs(spark), out, n_files=2)
+    with pytest.raises(ValueError, match="max_segment_bytes.*split"):
+        read_warc(spark, out, max_segment_bytes=64)
+    # at the real default the same segments are fine
+    assert read_warc(spark, out).count() == 30
