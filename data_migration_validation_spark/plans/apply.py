@@ -649,6 +649,13 @@ class CDCApplyEngine:
                         }
                     ]
                 )
+            if self.novelty is not None:
+                # same cadence: fold per-epoch novelty index partitions so
+                # the admit-time exact check plans O(buckets) files, not
+                # O(epochs × buckets)
+                self.novelty.compact_index(
+                    self.spark, self.lake.epochs_applied()
+                )
 
         if self.novelty is not None:
             self.novelty.release()

@@ -173,6 +173,7 @@ class NoveltyFilter:
         why the default is modest and the knob is per-table."""
         self.root = root
         self.index_dir = os.path.join(root, "index")
+        self.compact_dir = os.path.join(root, "index_compact")
         self.n_buckets = n_buckets
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
@@ -432,14 +433,164 @@ class NoveltyFilter:
     def _read_index(
         self, spark: SparkSession, committed_epochs: set[int]
     ) -> DataFrame | None:
-        if not committed_epochs or not self._index_has_data():
+        return self._trusted_index(spark, committed_epochs, [FPB_COL, FP_COL])
+
+    @staticmethod
+    def _dir_has_parquet(d: str) -> bool:
+        from data_migration_validation_spark.fsio import LOCAL
+
+        for bdir in LOCAL.list_dirs(d):
+            if any(f.endswith(".parquet") for f in LOCAL.list_files(bdir)):
+                return True
+        return False
+
+    def _epoch_dirs_on_disk(self) -> set[int]:
+        from data_migration_validation_spark.fsio import LOCAL
+
+        out = set()
+        for edir in LOCAL.list_dirs(self.index_dir):
+            name = os.path.basename(edir)
+            if name.startswith("epoch="):
+                try:
+                    out.add(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return out
+
+    def _compact_state(self) -> dict | None:
+        import json
+
+        raw = self.store.read("_compact")
+        return json.loads(raw) if raw else None
+
+    def _trusted_index(
+        self, spark: SparkSession, committed_epochs: set[int], cols: list[str]
+    ) -> DataFrame | None:
+        """Rows trusted against ``committed_epochs``: the compacted
+        generation (used only when every epoch it folded is in the
+        caller's committed set — an admit must never see LATER epochs'
+        fingerprints) plus per-epoch partitions for the committed
+        remainder. Orphan partitions from crashed/rejected attempts are
+        invisible by construction (the epoch IN-list). Duplicate rows
+        between generations would be harmless (admission is an anti-/
+        semi-join), but the fold vacuums what it covers anyway."""
+        if not committed_epochs:
             return None
-        idx = spark.read.parquet(self.index_dir)
-        # literal IN-list on the epoch partition column: orphan partitions
-        # from crashed/rejected attempts are invisible by construction
-        return idx.where(
-            F.col("epoch").isin([int(e) for e in committed_epochs])
-        ).select(FPB_COL, FP_COL)
+        parts: list[DataFrame] = []
+        remaining = {int(e) for e in committed_epochs}
+        cur = self._compact_state()
+        if cur is not None and set(cur["epochs"]) <= remaining:
+            gen = os.path.join(self.compact_dir, f"h{cur['head']}")
+            if self._dir_has_parquet(gen):
+                parts.append(spark.read.parquet(gen).select(*cols))
+            remaining -= set(cur["epochs"])
+        if remaining:
+            missing = remaining - self._epoch_dirs_on_disk()
+            if missing:
+                raise RuntimeError(
+                    f"novelty index at {self.root}: committed epochs "
+                    f"{sorted(missing)} have neither a per-epoch partition "
+                    f"nor compacted coverage usable for this admit — an "
+                    f"admit below the compaction head after its source "
+                    f"partitions were folded away is not supported"
+                )
+            if self._index_has_data():
+                parts.append(
+                    spark.read.parquet(self.index_dir)
+                    .where(F.col("epoch").isin(sorted(remaining)))
+                    .select(*cols)
+                )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def compact_index(
+        self, spark: SparkSession, committed_epochs: set[int]
+    ) -> int:
+        """Fold committed per-epoch index partitions into ONE compacted
+        generation per bucket — the per-epoch ``epoch=E/_fpb=B`` layout
+        otherwise grows a directory per epoch forever, and a long replay
+        reads O(epochs × buckets) files per admit; after the fold the
+        exact check plans O(buckets).
+
+        Only the CONTIGUOUS committed run (from the lowest epoch ever
+        seen) folds: any later admit's strictly-earlier committed set
+        then always covers the folded epochs, so the trusted-epoch
+        contract survives — an admit for epoch N > head sees exactly the
+        history it would have read from the per-epoch partitions. The
+        new generation is written first, the pointer CAS-flips, and only
+        then are the folded per-epoch partitions and the previous
+        generation removed (a crash in between leaves harmless
+        duplicates, never a gap). Returns the total number of folded
+        epochs."""
+        import json
+        import shutil
+
+        if not committed_epochs:
+            return 0
+        cur = self._compact_state()
+        folded_prev: set[int] = set(cur["epochs"]) if cur else set()
+        allc = {int(e) for e in committed_epochs} | folded_prev
+        lo = min(allc)
+        run: list[int] = []
+        e = lo
+        while e in allc:
+            run.append(e)
+            e += 1
+        new_folded = set(run)
+        if new_folded <= folded_prev:
+            return len(folded_prev)
+        head = max(run)
+        gen = os.path.join(self.compact_dir, f"h{head}")
+
+        parts: list[DataFrame] = []
+        if cur is not None:
+            old_gen = os.path.join(self.compact_dir, f"h{cur['head']}")
+            if self._dir_has_parquet(old_gen):
+                parts.append(spark.read.parquet(old_gen))
+        fresh = sorted(new_folded - folded_prev)
+        if self._index_has_data():
+            parts.append(
+                spark.read.parquet(self.index_dir)
+                .where(F.col("epoch").isin(fresh))
+                .drop("epoch")
+            )
+        if parts:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            (
+                out.write.mode("overwrite")
+                .partitionBy(FPB_COL)
+                .parquet(gen)
+            )
+        content = json.dumps(
+            {"head": head, "epochs": sorted(new_folded)}, sort_keys=True
+        )
+        expected = None
+        if cur is not None:
+            raw = self.store.read("_compact")
+            expected = raw.strip() if raw is not None else None
+        if not self.store.cas("_compact", expected, content):
+            # another maintenance process folded concurrently; ours loses
+            # and its generation dir becomes an orphan (re-foldable later)
+            shutil.rmtree(gen, ignore_errors=True)
+            new = self._compact_state()
+            return len(new["epochs"]) if new else len(folded_prev)
+        # pointer flipped: reclaim what the new generation covers
+        for fe in new_folded:
+            shutil.rmtree(
+                os.path.join(self.index_dir, f"epoch={fe}"), ignore_errors=True
+            )
+        if cur is not None and cur["head"] != head:
+            shutil.rmtree(
+                os.path.join(self.compact_dir, f"h{cur['head']}"),
+                ignore_errors=True,
+            )
+        return len(new_folded)
 
     def _bloom_hit_udf(self, spark: SparkSession, blooms: dict[int, np.ndarray]):
         import pandas as pd
@@ -757,12 +908,9 @@ class NoveltyFilter:
     def _read_index_neardup(
         self, spark: SparkSession, committed_epochs: set[int]
     ) -> DataFrame | None:
-        if not committed_epochs or not self._index_has_data():
-            return None
-        idx = spark.read.parquet(self.index_dir)
-        return idx.where(
-            F.col("epoch").isin([int(e) for e in committed_epochs])
-        ).select(FPB_COL, "band_id", "band_key", "_sig")
+        return self._trusted_index(
+            spark, committed_epochs, [FPB_COL, "band_id", "band_key", "_sig"]
+        )
 
     def vacuum_orphans(self, committed_epochs: set[int]) -> list[int]:
         """Delete index partitions for epochs the lake never committed and

@@ -574,3 +574,96 @@ def test_neardup_max_bucket_collapses_variant_flood(spark, tmp_path):
     assert stats.candidates == 12
     assert stats.admitted == 1
     nv.release()
+
+
+# -- index compaction ----------------------------------------------------------
+
+
+def test_index_compaction_identical_decisions_exact(spark, tmp_path):
+    """Folding committed per-epoch index partitions must not change a
+    single admission decision: same stream through a compacted and an
+    uncompacted table converges to the same final state, and the
+    compacted table's exact check reads O(buckets) files from the
+    compacted generation only."""
+    import os
+
+    streams = [
+        [_ev("I", "u/a", 1, "alpha text"), _ev("I", "u/b", 2, "beta text")],
+        [_ev("I", "u/c", 10, "gamma text", 1)],
+        [_ev("I", "u/d", 20, "alpha text", 2),   # dup of epoch-0 content
+         _ev("I", "u/e", 21, "delta text", 2)],
+        [_ev("I", "u/f", 30, "gamma text", 3),   # dup of epoch-1 content
+         _ev("I", "u/g", 31, "epsilon text", 3)],
+    ]
+    plain = _engine(spark, tmp_path, name="nocomp")
+    comp = _engine(spark, tmp_path, name="comp")
+    for e, rows in enumerate(streams[:2]):
+        plain.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
+        comp.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
+
+    folded = comp.novelty.compact_index(spark, comp.lake.epochs_applied())
+    assert folded == 2
+    # per-epoch partitions folded away, compacted generation present
+    assert not any(
+        d.startswith("epoch=") for d in os.listdir(comp.novelty.index_dir)
+    )
+    idx = comp.novelty._read_index(spark, {0, 1})
+    assert all("index_compact" in f for f in idx.inputFiles())
+
+    for e, rows in list(enumerate(streams))[2:]:
+        plain.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
+        comp.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
+    assert _urls(comp) == _urls(plain) == {"u/a", "u/b", "u/c", "u/e", "u/g"}
+
+    # second fold extends the generation and stays consistent
+    assert comp.novelty.compact_index(spark, comp.lake.epochs_applied()) == 4
+    st = comp.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/h", 40, "beta text", 4)], SCHEMA), 4
+    )
+    assert st.novelty_dropped == 1  # epoch-0 content still remembered
+
+
+def test_index_compaction_identical_decisions_neardup(spark, tmp_path):
+    """Same contract in minhash mode: the banded index folds without
+    changing near-dup admissions."""
+    plain = _engine_nd(spark, tmp_path, name="ndplain")
+    comp = _engine_nd(spark, tmp_path, name="ndcomp")
+    streams = [
+        [_ev("I", "u/a", 1, BASE)],
+        [_ev("I", "u/b", 10, OTHER, 1)],
+    ]
+    for e, rows in enumerate(streams):
+        plain.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
+        comp.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
+    assert comp.novelty.compact_index(spark, comp.lake.epochs_applied()) == 2
+
+    tail = [
+        _ev("I", "u/c", 20, BASE + " footer", 2),   # near-dup of u/a
+        _ev("I", "u/d", 21, "completely different words entirely", 2),
+    ]
+    for eng in (plain, comp):
+        st = eng.apply_epoch(spark.createDataFrame(tail, SCHEMA), 2)
+        assert st.novelty_dropped == 1
+    assert _urls(comp) == _urls(plain) == {"u/a", "u/b", "u/d"}
+
+
+def test_index_compaction_folds_only_contiguous_run(spark, tmp_path):
+    """With a committed gap, only the contiguous prefix folds — a later
+    admit for the gap epoch must still see exactly its strictly-earlier
+    history (the folded set is always a subset of any later admit's
+    committed set)."""
+    eng = _engine(spark, tmp_path, name="gap")
+    eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/a", 1, "alpha text")], SCHEMA), 0
+    )
+    eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/b", 10, "beta text", 2)], SCHEMA), 2
+    )
+    # committed = {0, 2}: the run stops before the gap at 1
+    assert eng.novelty.compact_index(spark, eng.lake.epochs_applied()) == 1
+    st = eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/c", 5, "alpha text", 1)], SCHEMA), 1
+    )
+    assert st.novelty_dropped == 1  # epoch-0 history via the compacted gen
+    # and epoch 2's partition is still on disk (not folded)
+    assert 2 in eng.novelty._epoch_dirs_on_disk()
