@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -150,7 +151,12 @@ def decode_stats(df: DataFrame, id_col: str = "media_id", content_col: str = "co
                 if b is None:
                     return 0, None
                 px = Image.open(io.BytesIO(bytes(b))).tobytes()
-                return len(px), (sum(px) / len(px)) if px else None
+                # numpy mean, not sum(px)/len(px): a 4k image is ~50M
+                # pixels — Python-int iteration per image would dwarf the
+                # decode itself. float64 accumulation is exact here
+                # (byte sums << 2^53), so the value is identical.
+                arr = np.frombuffer(px, dtype=np.uint8)
+                return len(px), float(arr.mean()) if len(px) else None
 
         else:
 
@@ -158,7 +164,8 @@ def decode_stats(df: DataFrame, id_col: str = "media_id", content_col: str = "co
                 if b is None:
                     return 0, None
                 b = bytes(b)
-                return len(b), (sum(b) / len(b)) if b else None
+                arr = np.frombuffer(b, dtype=np.uint8)
+                return len(b), float(arr.mean()) if b else None
 
         for pdf in it:
             pairs = [stats(b) for b in pdf[content_col]]

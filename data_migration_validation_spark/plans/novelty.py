@@ -185,6 +185,9 @@ class NoveltyFilter:
         # epochs, and an uncovered bloom degrades to the exact check —
         # never to a blind admit (see _blooms_for).
         self._bloom_cache: dict[int, tuple[np.ndarray, int]] | None = None
+        # highest committed watermark a cache refresh has been attempted
+        # for — bounds refresh traffic to one store re-read per advance
+        self._bloom_refreshed_for: int = -1
 
     # -- bloom persistence ----------------------------------------------------
     #
@@ -235,10 +238,18 @@ class NoveltyFilter:
         def usable(bm: np.ndarray, head: int) -> bool:
             return len(bm) == nbytes and (need is None or head >= need)
 
-        if need is not None and any(
-            head < need for _bm, head in self._bloom_cache.values()
+        # at most ONE refresh per high-water mark: a bucket that stays
+        # uncovered after its refresh (legacy bare bloom or a geometry
+        # change awaiting rebuild_blooms, both head=-1) must not turn
+        # every subsequent admit into n_buckets store reads — it is
+        # simply omitted, routing its members to the exact index check
+        if (
+            need is not None
+            and need > self._bloom_refreshed_for
+            and any(head < need for _bm, head in self._bloom_cache.values())
         ):
             self._load_blooms(refresh=True)
+            self._bloom_refreshed_for = need
         return {
             b: bm
             for b, (bm, head) in self._bloom_cache.items()
@@ -363,7 +374,7 @@ class NoveltyFilter:
         )
 
         blooms = self._blooms_for(committed_epochs)
-        idx = self._read_index(spark, committed_epochs)
+        idx = self._read_index(spark, committed_epochs, epoch=epoch)
         extra_cached = []
         if idx is None:
             # no committed history → everything surviving the in-epoch
@@ -431,9 +442,14 @@ class NoveltyFilter:
         return False
 
     def _read_index(
-        self, spark: SparkSession, committed_epochs: set[int]
+        self,
+        spark: SparkSession,
+        committed_epochs: set[int],
+        epoch: int | None = None,
     ) -> DataFrame | None:
-        return self._trusted_index(spark, committed_epochs, [FPB_COL, FP_COL])
+        return self._trusted_index(
+            spark, committed_epochs, [FPB_COL, FP_COL], epoch=epoch
+        )
 
     @staticmethod
     def _dir_has_parquet(d: str) -> bool:
@@ -464,23 +480,40 @@ class NoveltyFilter:
         return json.loads(raw) if raw else None
 
     def _trusted_index(
-        self, spark: SparkSession, committed_epochs: set[int], cols: list[str]
+        self,
+        spark: SparkSession,
+        committed_epochs: set[int],
+        cols: list[str],
+        epoch: int | None = None,
     ) -> DataFrame | None:
         """Rows trusted against ``committed_epochs``: the compacted
-        generation (used only when every epoch it folded is in the
+        generation plus per-epoch partitions for the committed remainder.
+        Orphan partitions from crashed/rejected attempts are invisible by
+        construction (the epoch IN-list). Duplicate rows between
+        generations would be harmless (admission is an anti-/semi-join),
+        but the fold vacuums what it covers anyway.
+
+        The generation is used only when every epoch it folded is in the
         caller's committed set — an admit must never see LATER epochs'
-        fingerprints) plus per-epoch partitions for the committed
-        remainder. Orphan partitions from crashed/rejected attempts are
-        invisible by construction (the epoch IN-list). Duplicate rows
-        between generations would be harmless (admission is an anti-/
-        semi-join), but the fold vacuums what it covers anyway."""
+        fingerprints — with one deliberate exception: the admitting
+        ``epoch`` itself may appear in the fold. Everything folded is
+        lake-committed (compact_index's precondition), so a generation
+        containing the caller's own epoch means ANOTHER replayer already
+        committed it after this caller's idempotency check; this caller's
+        publish will hit the commit conflict and skip, so its admission
+        decisions never land and the divergence is immaterial. Without
+        the exception that narrow race would raise below (the folded
+        per-epoch partitions are gone) and wedge the lagging replayer."""
         if not committed_epochs:
             return None
         parts: list[DataFrame] = []
         remaining = {int(e) for e in committed_epochs}
+        visible = remaining | ({int(epoch)} if epoch is not None else set())
         cur = self._compact_state()
-        if cur is not None and set(cur["epochs"]) <= remaining:
-            gen = os.path.join(self.compact_dir, f"h{cur['head']}")
+        if cur is not None and set(cur["epochs"]) <= visible:
+            gen = os.path.join(
+                self.compact_dir, cur.get("gen", f"h{cur['head']}")
+            )
             if self._dir_has_parquet(gen):
                 parts.append(spark.read.parquet(gen).select(*cols))
             remaining -= set(cur["epochs"])
@@ -525,13 +558,33 @@ class NoveltyFilter:
         then are the folded per-epoch partitions and the previous
         generation removed (a crash in between leaves harmless
         duplicates, never a gap). Returns the total number of folded
-        epochs."""
+        epochs.
+
+        Concurrency: each fold attempt writes a UNIQUELY-NAMED generation
+        directory (recorded in the pointer), and the pointer CAS compares
+        against the exact raw content the fold was planned from — a
+        concurrent fold therefore always loses the CAS (never regresses
+        the pointer to a stale plan) and a CAS loser can only ever delete
+        its OWN directory, never the winner's live generation. A crash
+        between the generation write and the CAS leaves an unreferenced
+        directory under ``index_compact/`` — a bounded storage leak, kept
+        rather than risk a sweep racing an in-flight fold's pointer flip.
+
+        If an epoch BELOW the previously folded run arrives later (out-of-
+        order replay) and a gap still separates it from that run, the fold
+        is skipped rather than shrinking pointer coverage to the new lower
+        contiguous run: the previously folded epochs' per-epoch partitions
+        are already reclaimed, so regressing the pointer would orphan
+        their only remaining coverage. The low epochs stay per-epoch until
+        the gap fills, after which one fold covers everything."""
         import json
         import shutil
+        import uuid
 
         if not committed_epochs:
             return 0
-        cur = self._compact_state()
+        raw0 = self.store.read("_compact")
+        cur = json.loads(raw0) if raw0 else None
         folded_prev: set[int] = set(cur["epochs"]) if cur else set()
         allc = {int(e) for e in committed_epochs} | folded_prev
         lo = min(allc)
@@ -541,14 +594,18 @@ class NoveltyFilter:
             run.append(e)
             e += 1
         new_folded = set(run)
-        if new_folded <= folded_prev:
+        if new_folded <= folded_prev or not folded_prev <= new_folded:
             return len(folded_prev)
         head = max(run)
-        gen = os.path.join(self.compact_dir, f"h{head}")
+        gen_name = f"h{head}-{uuid.uuid4().hex[:8]}"
+        gen = os.path.join(self.compact_dir, gen_name)
 
         parts: list[DataFrame] = []
+        old_gen: str | None = None
         if cur is not None:
-            old_gen = os.path.join(self.compact_dir, f"h{cur['head']}")
+            old_gen = os.path.join(
+                self.compact_dir, cur.get("gen", f"h{cur['head']}")
+            )
             if self._dir_has_parquet(old_gen):
                 parts.append(spark.read.parquet(old_gen))
         fresh = sorted(new_folded - folded_prev)
@@ -568,15 +625,13 @@ class NoveltyFilter:
                 .parquet(gen)
             )
         content = json.dumps(
-            {"head": head, "epochs": sorted(new_folded)}, sort_keys=True
+            {"head": head, "epochs": sorted(new_folded), "gen": gen_name},
+            sort_keys=True,
         )
-        expected = None
-        if cur is not None:
-            raw = self.store.read("_compact")
-            expected = raw.strip() if raw is not None else None
+        expected = raw0.strip() if raw0 is not None else None
         if not self.store.cas("_compact", expected, content):
             # another maintenance process folded concurrently; ours loses
-            # and its generation dir becomes an orphan (re-foldable later)
+            # and removes its own (uniquely named) generation only
             shutil.rmtree(gen, ignore_errors=True)
             new = self._compact_state()
             return len(new["epochs"]) if new else len(folded_prev)
@@ -585,11 +640,8 @@ class NoveltyFilter:
             shutil.rmtree(
                 os.path.join(self.index_dir, f"epoch={fe}"), ignore_errors=True
             )
-        if cur is not None and cur["head"] != head:
-            shutil.rmtree(
-                os.path.join(self.compact_dir, f"h{cur['head']}"),
-                ignore_errors=True,
-            )
+        if old_gen is not None and old_gen != gen:
+            shutil.rmtree(old_gen, ignore_errors=True)
         return len(new_folded)
 
     def _bloom_hit_udf(self, spark: SparkSession, blooms: dict[int, np.ndarray]):
@@ -833,7 +885,7 @@ class NoveltyFilter:
         # cross-epoch: bloom pre-pass on the band hash, exact check joins
         # the committed index on (_fpb, band_id, band_key) + similarity
         blooms = self._blooms_for(committed_epochs)
-        idx = self._read_index_neardup(spark, committed_epochs)
+        idx = self._read_index_neardup(spark, committed_epochs, epoch=epoch)
         cross_dropped = None
         if idx is not None:
             probe = band_rows
@@ -906,10 +958,16 @@ class NoveltyFilter:
         )
 
     def _read_index_neardup(
-        self, spark: SparkSession, committed_epochs: set[int]
+        self,
+        spark: SparkSession,
+        committed_epochs: set[int],
+        epoch: int | None = None,
     ) -> DataFrame | None:
         return self._trusted_index(
-            spark, committed_epochs, [FPB_COL, "band_id", "band_key", "_sig"]
+            spark,
+            committed_epochs,
+            [FPB_COL, "band_id", "band_key", "_sig"],
+            epoch=epoch,
         )
 
     def vacuum_orphans(self, committed_epochs: set[int]) -> list[int]:

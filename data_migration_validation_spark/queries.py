@@ -1650,8 +1650,12 @@ REGISTRY: dict[str, tuple] = {
     **CORPUS_REGISTRY,
 }
 
-assert len(REGISTRY) <= DRIVER_WINDOW, (
-    f"REGISTRY has {len(REGISTRY)} entries but the driver only verifies "
-    f"the first {DRIVER_WINDOW} — collapse oracle-sharing twins "
-    f"(queries_corpus._assert_twin) instead of overflowing the window"
-)
+# a raise, not an assert: `python -O` strips asserts, and silently
+# letting an entry fall outside the driver's verification window is
+# exactly the round-4 regression this guard exists to prevent
+if len(REGISTRY) > DRIVER_WINDOW:
+    raise RuntimeError(
+        f"REGISTRY has {len(REGISTRY)} entries but the driver only verifies "
+        f"the first {DRIVER_WINDOW} — collapse oracle-sharing twins "
+        f"(queries_corpus._assert_twin) instead of overflowing the window"
+    )

@@ -667,3 +667,170 @@ def test_index_compaction_folds_only_contiguous_run(spark, tmp_path):
     assert st.novelty_dropped == 1  # epoch-0 history via the compacted gen
     # and epoch 2's partition is still on disk (not folded)
     assert 2 in eng.novelty._epoch_dirs_on_disk()
+
+
+def test_concurrent_fold_loser_keeps_winners_generation(spark, tmp_path):
+    """Two maintenance processes folding the same committed run: the CAS
+    loser must delete only its OWN (uniquely named) generation directory,
+    never the winner's live one — and the CAS must compare against the
+    pointer content the fold was planned from, so a stale fold can never
+    overwrite a newer pointer."""
+    from data_migration_validation_spark.plans.novelty import NoveltyFilter
+
+    eng = _engine(spark, tmp_path, name="race")
+    streams = [
+        [_ev("I", "u/a", 1, "alpha text")],
+        [_ev("I", "u/b", 10, "beta text", 1)],
+    ]
+    for e, rows in enumerate(streams):
+        eng.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
+    committed = eng.lake.epochs_applied()
+    nf_a = eng.novelty
+    nf_b = NoveltyFilter(
+        nf_a.root, n_buckets=nf_a.n_buckets, bloom_bits=nf_a.bloom_bits
+    )
+    real_cas = nf_b.store.cas
+    raced = {}
+
+    def cas_after_other_writer(name, expected, content):
+        if name == "_compact" and "hit" not in raced:
+            raced["hit"] = True
+            # the other writer folds the same run and flips first
+            assert nf_a.compact_index(spark, committed) == 2
+        return real_cas(name, expected, content)
+
+    nf_b.store.cas = cas_after_other_writer
+    # the loser reports the winner's (identical) coverage, not a failure
+    assert nf_b.compact_index(spark, committed) == 2
+    assert raced == {"hit": True}
+    # the winner's generation survived the loser's cleanup: committed
+    # history still gates admission
+    st = eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/c", 20, "alpha text", 2)], SCHEMA), 2
+    )
+    assert st.novelty_dropped == 1
+    assert _urls(eng) == {"u/a", "u/b"}
+
+
+def test_refold_after_lower_epoch_arrives_same_head(spark, tmp_path):
+    """Out-of-order replay: epoch 1 folds first, then epoch 0 arrives and
+    the run extends DOWNWARD without raising the head. The refold must
+    write a fresh generation (not read-and-overwrite its own input dir)
+    and keep every fingerprint."""
+    eng = _engine(spark, tmp_path, name="ooo")
+    eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/b", 10, "beta text", 1)], SCHEMA), 1
+    )
+    assert eng.novelty.compact_index(spark, eng.lake.epochs_applied()) == 1
+    eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/a", 1, "alpha text")], SCHEMA), 0
+    )
+    assert eng.novelty.compact_index(spark, eng.lake.epochs_applied()) == 2
+    st = eng.apply_epoch(
+        spark.createDataFrame(
+            [_ev("I", "u/c", 20, "alpha text", 2),
+             _ev("I", "u/d", 21, "beta text", 2)],
+            SCHEMA,
+        ),
+        2,
+    )
+    assert st.novelty_dropped == 2
+    assert _urls(eng) == {"u/a", "u/b"}
+
+
+def test_fold_skips_rather_than_regress_coverage(spark, tmp_path):
+    """An epoch BELOW the previously folded run, still separated from it
+    by a gap, must NOT fold: shrinking pointer coverage to the new lower
+    run would orphan the already-reclaimed higher epochs' only coverage.
+    The fold waits; admits keep working; once the gap fills everything
+    folds in one pass."""
+    eng = _engine(spark, tmp_path, name="skipgap")
+    eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/g", 30, "gamma text", 2)], SCHEMA), 2
+    )
+    assert eng.novelty.compact_index(spark, eng.lake.epochs_applied()) == 1
+    eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/a", 1, "alpha text")], SCHEMA), 0
+    )
+    # run from 0 stops at the gap at 1: skip, keep {2} folded
+    assert eng.novelty.compact_index(spark, eng.lake.epochs_applied()) == 1
+    assert eng.novelty._compact_state()["epochs"] == [2]
+    assert 0 in eng.novelty._epoch_dirs_on_disk()  # stays per-epoch
+    # an admit above the head still sees ALL committed history (gen for
+    # {2}, per-epoch partition for {0}) — with a regressed pointer this
+    # raises because epoch 2 has neither coverage
+    st = eng.apply_epoch(
+        spark.createDataFrame(
+            [_ev("I", "u/x", 40, "alpha text", 3),
+             _ev("I", "u/y", 41, "gamma text", 3)],
+            SCHEMA,
+        ),
+        3,
+    )
+    assert st.novelty_dropped == 2
+    # gap fills → one fold covers everything
+    eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/b", 5, "beta text", 1)], SCHEMA), 1
+    )
+    assert eng.novelty.compact_index(spark, eng.lake.epochs_applied()) == 4
+    st = eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/z", 50, "beta text", 4)], SCHEMA), 4
+    )
+    assert st.novelty_dropped == 1
+
+
+def test_trusted_index_allows_own_epoch_in_generation(spark, tmp_path):
+    """Converging-replayer race: the fold may contain the admitting epoch
+    itself (another replayer committed it between this caller's
+    idempotency check and its admit). Usable — the caller's publish will
+    conflict-skip, so its decisions never land. Any OTHER folded-away
+    epoch outside the committed set still refuses."""
+    eng = _engine(spark, tmp_path, name="own")
+    streams = [
+        [_ev("I", "u/a", 1, "alpha text")],
+        [_ev("I", "u/b", 10, "beta text", 1)],
+    ]
+    for e, rows in enumerate(streams):
+        eng.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
+    nf = eng.novelty
+    assert nf.compact_index(spark, {0, 1}) == 2
+    idx = nf._read_index(spark, {0}, epoch=1)
+    assert idx is not None and idx.count() == 2
+    with pytest.raises(RuntimeError, match="neither a per-epoch partition"):
+        nf._read_index(spark, {0}, epoch=2)
+
+
+def test_bloom_refresh_once_per_high_water_mark(spark, tmp_path):
+    """A bucket that stays uncovered after a refresh (legacy/geometry-
+    swapped bloom, head=-1) must not turn every admit into n_buckets
+    store reads: at most one refresh per committed high-water mark."""
+    eng = _engine(spark, tmp_path, name="blthrottle")
+    for e, rows in enumerate(
+        [[_ev("I", "u/a", 1, "alpha text")], [_ev("I", "u/b", 10, "beta text", 1)]]
+    ):
+        eng.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
+    nf = eng.novelty
+    nf._load_blooms(refresh=True)
+    k = next(iter(nf._bloom_cache))
+    bm, _head = nf._bloom_cache[k]
+    # poison the STORE: bucket k's bloom is permanently head=-1 (what a
+    # legacy bare-b64 object or a geometry swap awaiting rebuild_blooms
+    # looks like) — a refresh re-reads exactly this
+    name = f"fpb{k}"
+    assert nf.store.cas(name, nf.store.read(name).strip(), nf._encode(bm, -1))
+    reads: list[str] = []
+    real_read = nf.store.read
+    nf.store.read = lambda n: (reads.append(n), real_read(n))[1]
+
+    nf._bloom_cache[k] = (bm, -1)
+    nf._bloom_refreshed_for = -1  # as a fresh process would start
+    out = nf._blooms_for({0, 1})
+    n_after_first = len(reads)
+    assert n_after_first > 0  # one refresh happened
+    assert k not in out  # still uncovered → omitted → exact check path
+
+    nf._blooms_for({0, 1})
+    assert len(reads) == n_after_first  # no second refresh at the same mark
+
+    nf._blooms_for({0, 1, 2})  # higher watermark → one more refresh
+    assert len(reads) > n_after_first
