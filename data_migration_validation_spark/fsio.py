@@ -87,5 +87,80 @@ class DataFS:
             return pq.ParquetFile(path).metadata
         return pq.ParquetFile(path, filesystem=self.pafs).metadata
 
+    # -- maintenance-side operations (expire/vacuum/reject) ---------------------
+
+    def delete_file(self, path: str) -> bool:
+        """Delete one file; missing is not an error. Returns whether a
+        file was actually removed."""
+        if self.pafs is None:
+            try:
+                os.unlink(path)
+                return True
+            except FileNotFoundError:
+                return False
+        from pyarrow import fs as pafs_mod
+
+        if self.pafs.get_file_info(path).type == pafs_mod.FileType.NotFound:
+            return False
+        self.pafs.delete_file(path)
+        return True
+
+    def remove_dir(self, path: str) -> None:
+        """Recursively delete a directory tree; missing is not an error."""
+        if self.pafs is None:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            return
+        self.pafs.delete_dir_contents(path, missing_dir_ok=True)
+        from pyarrow import fs as pafs_mod
+
+        if self.pafs.get_file_info(path).type != pafs_mod.FileType.NotFound:
+            self.pafs.delete_dir(path)
+
+    def walk_files(self, directory: str) -> list[tuple[str, float]]:
+        """All plain files under ``directory`` recursively, as
+        (path, mtime-epoch-seconds) pairs; [] if it does not exist."""
+        if self.pafs is None:
+            out: list[tuple[str, float]] = []
+            for root, _dirs, files in os.walk(directory):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    try:
+                        out.append((p, os.stat(p).st_mtime))
+                    except FileNotFoundError:
+                        pass  # concurrent maintenance got it first
+            return sorted(out)
+        from pyarrow import fs as pafs_mod
+
+        sel = pafs_mod.FileSelector(directory, recursive=True, allow_not_found=True)
+        return sorted(
+            (info.path, info.mtime.timestamp() if info.mtime else 0.0)
+            for info in self.pafs.get_file_info(sel)
+            if info.type == pafs_mod.FileType.File
+        )
+
+    def mtime(self, path: str) -> float:
+        """Modification time as epoch seconds (0.0 when unknown)."""
+        if self.pafs is None:
+            return os.stat(path).st_mtime
+        info = self.pafs.get_file_info(path)
+        return info.mtime.timestamp() if info.mtime else 0.0
+
+    def prune_empty_dirs(self, directory: str) -> None:
+        """Best-effort bottom-up removal of empty sub-directories. Only
+        meaningful on real filesystems; object stores have no empty
+        directories to prune, so the pyarrow path is a no-op (pyarrow's
+        local filesystem is the exception and simply keeps its empties —
+        harmless)."""
+        if self.pafs is not None:
+            return
+        for root, dirs, files in os.walk(directory, topdown=False):
+            if root != directory and not dirs and not files:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+
 
 LOCAL = DataFS()

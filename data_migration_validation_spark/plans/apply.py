@@ -137,9 +137,12 @@ class CDCApplyEngine:
 
         ``quarantine``: route malformed events (null key / null warc_ts /
         null seq / unknown op) to a dead-letter table under the lake dir
-        instead of crashing the epoch or corrupting bucket assignment
-        (a null key buckets to null, which would fail the commit's
-        stray-bucket invariant). Detection piggybacks on the lineage
+        instead of failing the epoch. With ``quarantine=False`` a
+        malformed row FAILS the epoch loudly before anything is written
+        (note Spark's hash functions return their seed for NULL input —
+        a null key would otherwise bucket normally and be applied
+        silently, never tripping the stray-bucket invariant). Detection
+        piggybacks on the lineage
         pre-scan (two extra slim columns, no extra job); the quarantine
         WRITE only runs for epochs that actually have violations, into an
         epoch-keyed directory (idempotent under crash-replay). Reasons in
@@ -247,8 +250,9 @@ class CDCApplyEngine:
         key = self.key_col
         # admission predicates, evaluated identically in the pre-scan and
         # the merge plan (determinism contract):
-        # * valid — envelope sanity; a failing row cannot be applied (a
-        #   null key has no bucket) and is routed to the quarantine table;
+        # * valid — envelope sanity; a failing row cannot be applied
+        #   meaningfully and is routed to the quarantine table (or fails
+        #   the epoch when quarantine is off);
         # * in-horizon — tombstone-GC retention gate: events at or before
         #   the recorded horizon are contractually too late (their
         #   tombstones may already be physically gone); admitting one
@@ -280,7 +284,7 @@ class CDCApplyEngine:
         # extra job. `valid` is checked first so a null warc_ts lands in
         # quarantine, not silently in the horizon drop.
         bucket_assign = (
-            (F.when(~valid, F.lit(-1)) if self.quarantine else F.when(F.lit(False), F.lit(-1)))
+            F.when(~valid, F.lit(-1))
             .when(~in_horizon, F.lit(-2))
             .otherwise(bucket_expr(F.col(key), self.lake.num_buckets))
         )
@@ -298,12 +302,18 @@ class CDCApplyEngine:
         n_quarantined = sum(r["applied_events"] for r in scan_rows if r[BUCKET_COL] == -1)
         n_late_dropped = sum(r["applied_events"] for r in scan_rows if r[BUCKET_COL] == -2)
         novelty_dropped = 0  # set by the novelty filter in the mor branch
-        # quarantine=False preserves the legacy failure mode: a malformed
-        # row's null bucket stays in the lineage and the commit's
-        # stray-bucket invariant rejects it loudly
-        lineage_rows = [
-            r for r in scan_rows if r[BUCKET_COL] is None or r[BUCKET_COL] >= 0
-        ]
+        if n_quarantined and not self.quarantine:
+            # quarantine off = malformed input is a hard error, BEFORE any
+            # write. It cannot be delegated to the commit's stray-bucket
+            # invariant: xxhash64(NULL) returns the seed, so a null key
+            # buckets like any other value and would be applied silently.
+            raise ValueError(
+                f"epoch {epoch}: {n_quarantined} malformed event(s) "
+                f"(null key/warc_ts/seq or unknown op) and quarantine is "
+                f"disabled — nothing was written; fix the feed or enable "
+                f"quarantine to dead-letter them"
+            )
+        lineage_rows = [r for r in scan_rows if r[BUCKET_COL] >= 0]
         touched = {r[BUCKET_COL] for r in lineage_rows}
         n_events = sum(r["applied_events"] for r in lineage_rows)
 
@@ -362,6 +372,23 @@ class CDCApplyEngine:
                 except CommitConflictError:
                     if epoch in self.lake.epochs_applied():
                         return False, 0
+                    # the merge plan's admission filter baked the gc
+                    # horizon in as a LITERAL at planning time; if the
+                    # conflicting commit advanced it (a GC compaction
+                    # racing this ingest), retrying the stale plan would
+                    # apply events at/below the new horizon — resurrecting
+                    # keys whose tombstones that GC just dropped. Fail
+                    # loudly instead: apply_epoch is idempotent, so the
+                    # caller re-applies and re-plans against the new head.
+                    cur_h = self.lake.gc_horizon()
+                    if cur_h != horizon:
+                        raise RuntimeError(
+                            f"epoch {epoch}: gc horizon advanced from "
+                            f"{horizon!r} to {cur_h!r} while this apply was "
+                            f"in flight; the epoch's admission filter is "
+                            f"stale — re-apply the epoch to re-plan against "
+                            f"the new horizon"
+                        ) from None
                     if attempt == 2:
                         raise
 
@@ -551,6 +578,11 @@ class CDCApplyEngine:
                 if bad:
                     _record_audit(violations, bad)
                     self.lake.reject_staged(staged_v)
+                    if self.novelty is not None:
+                        # the rejected epoch's admit() left its frames
+                        # persisted; the normal-path release below is
+                        # skipped by this early return
+                        self.novelty.release()
                     return ApplyStats(
                         epoch=epoch,
                         skipped=False,
@@ -805,9 +837,6 @@ class CDCApplyEngine:
         v1 = None if from_epoch is None else self.lake.version_asof_epoch(from_epoch)
         snap2 = self.lake.snapshot(v2)
         buckets = self.lake.buckets_changed_between(v1, v2)
-        if buckets is not None and not buckets:
-            # no epoch commits in range: empty feed, schema preserved
-            buckets = set()
 
         def _live(version: int | None) -> DataFrame | None:
             if version is None:

@@ -460,7 +460,10 @@ class LakeTable:
         maintenance that ran before the next epoch — same logical state."""
         best = None
         for v in self.versions():
-            epochs = self.snapshot(v).epochs
+            # raw-manifest read: resolving a full Snapshot would parse
+            # every bucket shard of every version just to compare epoch
+            # numbers the O(1) manifest JSON already carries
+            epochs = _epochs_of(self._manifest_raw(v))
             if epochs and max(epochs) <= epoch:
                 best = v
         return best
@@ -478,21 +481,26 @@ class LakeTable:
         ``touched_buckets`` record. Manifest-only: no data files are read."""
         if v_from is None:
             return None
-        from_snap = self.snapshot(v_from)
-        props_from = from_snap.table_props or {}
+        # raw-manifest reads throughout: everything compared here
+        # (table props, gc horizon, commit summary) lives in the O(1)
+        # manifest JSON — resolving Snapshots would read every bucket
+        # shard of every version in range on each read_changes call
+        m_from = self._manifest_raw(v_from)
+        props_from = m_from.get("table") or {}
         out: set[int] = set()
         for v in self.versions():
             if v <= v_from or v > v_to:
                 continue
-            snap = self.snapshot(v)
-            props = snap.table_props or {}
+            m = self._manifest_raw(v)
+            props = m.get("table") or {}
             if props.get("num_buckets") != props_from.get("num_buckets"):
                 return None  # rebucket in range: bucket ids not comparable
-            if snap.gc_horizon != from_snap.gc_horizon:
+            if m.get("gc_horizon") != m_from.get("gc_horizon"):
                 return None  # tombstone GC in range: rows dropped table-wide
-            if snap.summary.get("epoch") is None:
+            summary = m.get("summary", {})
+            if summary.get("epoch") is None:
                 continue  # compaction: state-preserving
-            touched = snap.summary.get("touched_buckets")
+            touched = summary.get("touched_buckets")
             if touched is None:
                 return None  # pre-record commit: unknown extent
             out.update(int(b) for b in touched)
@@ -622,19 +630,35 @@ class LakeTable:
         num_buckets = int(props.get("num_buckets", self.num_buckets))
         return _xxhash64_str(key_value) % num_buckets
 
-    def lookup_files(
-        self, key_value: str, version: int | None = None
-    ) -> tuple[dict[str, list[str]], dict[str, list[str]], int]:
-        """Manifest-only planning for a point lookup: the key's bucket
-        (computed driver-side with the same xxhash64 the layout uses) and
-        the base/delta file groups for that bucket, pruned by the per-file
-        key [min, max] bounds. Returns (base_groups, delta_groups,
-        bucket). Files without recorded bounds stay candidates. Only the
-        key's bucket shard is parsed (see :meth:`snapshot_pruned`)."""
-        if (version if version is not None else self.current_version()) is None:
-            return {}, {}, -1
-        bucket = self._key_bucket(key_value, version)
-        snap = self.snapshot_pruned(version, {bucket})
+    def _lookup_plan(
+        self, key_value: str, version: int | None
+    ) -> tuple[dict[str, list[str]], dict[str, list[str]], int, Snapshot] | None:
+        """Shared planning for :meth:`lookup_files` / :meth:`lookup`: ONE
+        snapshot-manifest read serves the bucket computation, the pruned
+        snapshot, and the key-bounds pruning (against an object store
+        each extra read is a GET on the point-lookup hot path)."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return None
+        m = self._manifest_raw(v)
+        props = m.get("table") or {}
+        num_buckets = int(props.get("num_buckets", self.num_buckets))
+        bucket = _xxhash64_str(key_value) % num_buckets
+        file_groups, delta_groups, file_stats, ts_stats = self._resolve_groups(
+            m, buckets={bucket}
+        )
+        snap = Snapshot(
+            version=m["version"],
+            epochs=_epochs_of(m),
+            schema=StructType.fromJson(json.loads(m["schema"])),
+            file_groups=file_groups,
+            summary=m.get("summary", {}),
+            delta_groups=delta_groups,
+            gc_horizon=m.get("gc_horizon"),
+            table_props=m.get("table"),
+            file_stats=file_stats,
+            ts_stats=ts_stats,
+        )
         stats = snap.file_stats or {}
 
         def _prune(groups: dict[str, list[str]]) -> dict[str, list[str]]:
@@ -653,7 +677,23 @@ class LakeTable:
             _prune(snap.files_for({bucket})),
             _prune(snap.delta_files_for({bucket})),
             bucket,
+            snap,
         )
+
+    def lookup_files(
+        self, key_value: str, version: int | None = None
+    ) -> tuple[dict[str, list[str]], dict[str, list[str]], int]:
+        """Manifest-only planning for a point lookup: the key's bucket
+        (computed driver-side with the same xxhash64 the layout uses) and
+        the base/delta file groups for that bucket, pruned by the per-file
+        key [min, max] bounds. Returns (base_groups, delta_groups,
+        bucket). Files without recorded bounds stay candidates. Only the
+        key's bucket shard is parsed (see :meth:`snapshot_pruned`)."""
+        plan = self._lookup_plan(key_value, version)
+        if plan is None:
+            return {}, {}, -1
+        base_g, delta_g, bucket, _snap = plan
+        return base_g, delta_g, bucket
 
     def lookup(
         self, spark: SparkSession, key_value: str, version: int | None = None
@@ -665,10 +705,10 @@ class LakeTable:
         only the surviving files are read, filtered, and LWW-merged. The
         100-TB shape: a lookup touches a handful of parquet files — and
         parses ONE bucket-manifest shard — regardless of table size."""
-        if (version if version is not None else self.current_version()) is None:
+        plan = self._lookup_plan(key_value, version)
+        if plan is None:
             return None
-        base_g, delta_g, bucket = self.lookup_files(key_value, version=version)
-        snap = self.snapshot_pruned(version, {bucket})
+        base_g, delta_g, bucket, snap = plan
         props = snap.table_props or {}
         key_col = props.get("key_col", self.key_col)
         base = self._read_groups(spark, snap, base_g)
@@ -1005,8 +1045,15 @@ class LakeTable:
         }
 
         prev_horizon = prev.gc_horizon if prev else None
-        # ISO strings compare chronologically; the horizon only advances
-        horizon = max(filter(None, [prev_horizon, gc_horizon]), default=None)
+        # canonicalize BEFORE comparing: only the canonical space-separated
+        # naive-UTC form orders chronologically under string max() — a
+        # "T"-separated or tz-suffixed input would otherwise beat any
+        # same-day canonical string ('T' > ' ') and REGRESS the horizon,
+        # re-admitting events whose tombstones were already GC'd
+        horizon = max(
+            (_canon_ts(h) for h in (prev_horizon, gc_horizon) if h),
+            default=None,
+        )
 
         prev_shards: dict[str, str] = {}
         if prev is not None:
@@ -1113,7 +1160,7 @@ class LakeTable:
         O(table), regardless of lake size. ``_bucket`` partition dirs are
         resolved and dropped."""
         commit_dir = self._manifest_raw(version).get("commit_dir")
-        if not commit_dir or not os.path.isdir(commit_dir):
+        if not commit_dir or not self.data_fs.is_dir(commit_dir):
             return None
         df = spark.read.parquet(commit_dir)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
@@ -1145,10 +1192,8 @@ class LakeTable:
         for rel in m.get("added_manifests", []):
             self.store.delete(rel)
         commit_dir = m.get("commit_dir")
-        if commit_dir and os.path.isdir(commit_dir):
-            import shutil
-
-            shutil.rmtree(commit_dir)
+        if commit_dir:
+            self.data_fs.remove_dir(commit_dir)
 
     def cleanup_staged(self) -> int:
         """Reclaim ALL unpublished manifests and their files (orphans from
@@ -1291,8 +1336,12 @@ class LakeTable:
             live_shards |= set(
                 (self._manifest_raw(v).get("bucket_manifests") or {}).values()
             )
-        # staged (unpublished) manifests also pin their shards
+        # staged (unpublished) manifests pin their shards AND their data
+        # files: a staged commit carries its parent's files by reference,
+        # and that parent may be in the expired set — deleting those
+        # files would break the WAP auditor's read of the staged version
         for v in self.staged_versions():
+            live |= _files(self.snapshot(v))
             live_shards |= set(
                 (self._manifest_raw(v).get("bucket_manifests") or {}).values()
             )
@@ -1311,9 +1360,10 @@ class LakeTable:
             self.store.delete(rel)
         removed = 0
         for f in sorted(dead):
-            if os.path.exists(f):
-                os.unlink(f)
-                removed += 1
+            # through the data-IO seam: on an object-store table the local
+            # os.path.exists would be False for every path and expiry
+            # would silently reclaim nothing, forever
+            removed += int(self.data_fs.delete_file(f))
         return {
             "expired_versions": len(expired),
             "removed_files": removed,
@@ -1350,50 +1400,43 @@ class LakeTable:
         # Spark writes bookkeeping next to the data (.crc checksums,
         # _SUCCESS markers) that manifests never name: in a LIVE commit
         # dir they must survive (deleting a live file's .crc defeats
-        # checksum verification), in a dead dir they go with it.
+        # checksum verification), in a dead dir they go with it. The
+        # _SUCCESS marker sits at the commit-dir ROOT — the PARENT of the
+        # bucket dirs the data files live in — so live parents are kept
+        # too, or every vacuumed live commit would read as incomplete to
+        # tooling that gates on the marker.
         ref_dirs = {os.path.dirname(f) for f in referenced}
+        ref_dirs |= {os.path.dirname(d) for d in ref_dirs}
         removed = 0
         now = _time.time()
-        for root, _dirs, files in os.walk(self.data_dir):
-            for fn in files:
-                p = os.path.join(root, fn)
-                if p in referenced:
-                    continue
-                is_data = fn.endswith(".parquet") and not fn.startswith(".")
-                if not is_data and root in ref_dirs:
-                    continue  # live dir bookkeeping
-                try:
-                    if now - os.stat(p).st_mtime < min_age_seconds:
-                        continue
-                    os.unlink(p)
-                    if is_data:
-                        removed += 1  # bookkeeping isn't counted as data
-                except FileNotFoundError:
-                    pass  # another maintenance op got it first
-        # prune directories the sweep emptied (bottom-up)
-        for root, dirs, files in os.walk(self.data_dir, topdown=False):
-            if root != self.data_dir and not dirs and not files:
-                try:
-                    os.rmdir(root)
-                except OSError:
-                    pass
+        # through the data-IO seam (walk + mtime + delete): an
+        # object-store table vacuums its own storage, not a nonexistent
+        # local directory
+        for p, mtime in self.data_fs.walk_files(self.data_dir):
+            if p in referenced:
+                continue
+            fn = os.path.basename(p)
+            is_data = fn.endswith(".parquet") and not fn.startswith(".")
+            if not is_data and os.path.dirname(p) in ref_dirs:
+                continue  # live dir bookkeeping
+            if now - mtime < min_age_seconds:
+                continue
+            if self.data_fs.delete_file(p) and is_data:
+                removed += 1  # bookkeeping isn't counted as data
+        # prune directories the sweep emptied (real filesystems only)
+        self.data_fs.prune_empty_dirs(self.data_dir)
         # stale quarantine staging dirs (.tmp-epoch-*): hidden from readers
         # (Spark skips dot-prefixed paths) but left behind by a crash
         # between the dead-letter write and its rename-into-place
-        import shutil as _shutil
-
         qdir = os.path.join(self.path, "_quarantine")
         removed_staging = 0
-        if os.path.isdir(qdir):
-            for entry in os.listdir(qdir):
-                p = os.path.join(qdir, entry)
-                if (
-                    entry.startswith(".tmp-")
-                    and os.path.isdir(p)
-                    and now - os.stat(p).st_mtime >= min_age_seconds
-                ):
-                    _shutil.rmtree(p, ignore_errors=True)
-                    removed_staging += 1
+        for p in self.data_fs.list_dirs(qdir):
+            if (
+                os.path.basename(p).startswith(".tmp-")
+                and now - self.data_fs.mtime(p) >= min_age_seconds
+            ):
+                self.data_fs.remove_dir(p)
+                removed_staging += 1
         # bucket-manifest shards referenced by NO manifest: a crash between
         # shard write and manifest claim, or a partial reject, strands
         # them. Same age guard as data files (a younger shard may belong

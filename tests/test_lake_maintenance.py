@@ -277,3 +277,207 @@ def test_vacuum_sweeps_stale_quarantine_staging(spark, tmp_path):
     assert out["removed_staging_dirs"] == 1
     assert not os.path.isdir(stale)
     assert os.path.isdir(live)  # real quarantine data untouched
+
+
+def test_gc_horizon_canonicalized_never_regresses(spark, tmp_path):
+    """Horizon strings canonicalize before the only-advances max(): a
+    'T'-separated input would otherwise beat any same-day canonical
+    string lexicographically ('T' > ' ') and REGRESS the horizon,
+    re-admitting events whose tombstones were already GC'd."""
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "hz-t"),
+        checkpoint_path=str(tmp_path / "hz-c"),
+        num_buckets=4,
+        compact_every=None,
+    )
+    eng.apply_epoch(
+        _events(spark, [("I", "https://a/x", "2024-01-01 00:00:00", 0)], 0), 0
+    )
+    eng.lake.compact(spark, gc_horizon_ts="2024-06-01 12:00:00")
+    assert eng.lake.gc_horizon() == "2024-06-01 12:00:00"
+    # an EARLIER same-day horizon in 'T' form must lose, not win
+    eng.lake.compact(spark, gc_horizon_ts="2024-06-01T00:00:00")
+    assert eng.lake.gc_horizon() == "2024-06-01 12:00:00"
+    # a genuinely later 'T'-form horizon advances, stored canonicalized
+    eng.lake.compact(spark, gc_horizon_ts="2024-06-02T00:00:00")
+    assert eng.lake.gc_horizon() == "2024-06-02 00:00:00"
+
+
+def test_conflict_retry_refuses_stale_horizon_plan(spark, tmp_path):
+    """A commit conflict caused by a GC compaction that ADVANCED the
+    horizon must not retry the epoch's merge plan: its admission filter
+    baked the old horizon in as a literal, so retrying could apply
+    events whose tombstones the concurrent GC just dropped. The engine
+    fails loudly; a fresh apply re-plans and succeeds."""
+    from data_migration_validation_spark.plans.lake import CommitConflictError
+
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "rc-t"),
+        checkpoint_path=str(tmp_path / "rc-c"),
+        num_buckets=4,
+        compact_every=None,
+    )
+    eng.apply_epoch(
+        _events(spark, [("I", "https://a/x", "2024-01-01 00:00:00", 0)], 0), 0
+    )
+    lake = eng.lake
+    real_commit = lake.commit
+    state = {"fired": False}
+
+    def racing_commit(*a, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            # a GC compaction lands inside the epoch's commit window
+            # (its own internal commit call re-enters this wrapper with
+            # fired already set, so it delegates to the real commit)
+            lake.compact(spark, gc_horizon_ts="2024-01-02 00:00:00")
+            raise CommitConflictError("simulated flip race")
+        return real_commit(*a, **kw)
+
+    lake.commit = racing_commit
+    try:
+        with pytest.raises(RuntimeError, match="horizon advanced"):
+            eng.apply_epoch(
+                _events(spark, [("U", "https://a/x", "2024-01-03 00:00:00", 1)], 1),
+                1,
+            )
+    finally:
+        lake.commit = real_commit
+    assert lake.epochs_applied() == {0}  # the stale plan never landed
+    # a fresh apply re-plans against the new horizon and succeeds
+    st = eng.apply_epoch(
+        _events(spark, [("U", "https://a/x", "2024-01-03 00:00:00", 1)], 1), 1
+    )
+    assert st.events_seen == 1 and lake.epochs_applied() == {0, 1}
+
+
+def test_expire_keeps_staged_carried_files(spark, tmp_path):
+    """A staged (unpublished) commit carries its parent's files by
+    reference; expiring that parent must not delete them — the staged
+    version has to stay readable until it is rejected or published."""
+    from data_migration_validation_spark.operators.audit import page_envelope_audit
+
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "ex-t"),
+        checkpoint_path=str(tmp_path / "ex-c"),
+        num_buckets=4,
+        compact_every=None,
+    )
+    eng.apply_epoch(
+        _events(spark, [("I", "https://a/x", "2024-01-01 00:00:00", 0)], 0), 0
+    )
+    eng.apply_epoch(
+        _events(spark, [("I", "https://a/y", "2024-01-01 00:00:01", 1)], 1), 1
+    )
+    with pytest.raises(RuntimeError, match="stage and publish"):
+        eng.apply_epoch(
+            _events(spark, [("I", "https://a/z", "2024-01-01 00:00:02", 2)], 2),
+            2,
+            audit=page_envelope_audit(),
+            crash_after_stage=True,
+        )
+    (staged_v,) = eng.lake.staged_versions()
+    staged_rows = eng.lake.read(spark, version=staged_v).count()
+    assert staged_rows == 3  # carried epochs 0-1 + its own winner
+    # advance the head past the stage's parent, then fold the deltas so
+    # the head no longer references the parent's files itself
+    eng.apply_epoch(
+        _events(spark, [("I", "https://a/z", "2024-01-01 00:00:02", 2)], 2), 2
+    )
+    eng.lake.compact(spark)
+    eng.lake.expire_snapshots(keep_last=1)
+    # the staged version still resolves in full
+    assert eng.lake.read(spark, version=staged_v).count() == staged_rows
+    assert eng.lake.cleanup_staged() == 1
+
+
+def test_vacuum_keeps_success_marker_at_live_commit_root(spark, tmp_path):
+    """_SUCCESS sits at the commit-dir ROOT (the parent of the bucket
+    dirs manifests reference); vacuum must keep it for live commits and
+    still sweep it with dead ones."""
+    import os
+    import time
+
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "sm-t"),
+        checkpoint_path=str(tmp_path / "sm-c"),
+        num_buckets=4,
+        compact_every=None,
+    )
+    eng.apply_epoch(
+        _events(spark, [("I", "https://a/x", "2024-01-01 00:00:00", 0)], 0), 0
+    )
+    lake = eng.lake
+    live_commit = lake._manifest_raw(lake.current_version())["commit_dir"]
+    live_marker = os.path.join(live_commit, "_SUCCESS")
+    if not os.path.exists(live_marker):  # Spark config may disable it
+        open(live_marker, "w").close()
+    # a dead (orphan) commit dir with its own marker
+    dead_dir = os.path.join(lake.data_dir, "commit-99-feedface")
+    os.makedirs(os.path.join(dead_dir, "_bucket=0"))
+    dead_marker = os.path.join(dead_dir, "_SUCCESS")
+    open(dead_marker, "w").close()
+    past = time.time() - 7200
+    for root, _dirs, files in os.walk(lake.data_dir):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (past, past))
+    lake.vacuum(min_age_seconds=3600)
+    assert os.path.exists(live_marker)  # live bookkeeping survives
+    assert not os.path.exists(dead_marker)  # dead dir swept with its files
+    assert eng.read_final().count() == 1
+
+
+def test_maintenance_ops_work_through_pyarrow_data_fs(spark, tmp_path):
+    """expire/vacuum/read_added route data-file IO through the DataFS
+    seam: reopening the table with a pyarrow filesystem (LocalFileSystem
+    here, S3/GCS in a real object-store deployment) must reclaim the
+    same files the default os-backed handle would."""
+    import os
+
+    from pyarrow import fs as pafs
+    from data_migration_validation_spark.fsio import DataFS
+
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "fs-t"),
+        checkpoint_path=str(tmp_path / "fs-c"),
+        num_buckets=4,
+        compact_every=None,
+    )
+    for e in range(3):
+        eng.apply_epoch(
+            _events(
+                spark,
+                [("I", f"https://a/{e}", f"2024-01-01 00:00:0{e}", e)],
+                e,
+            ),
+            e,
+        )
+    eng.lake.compact(spark)  # strands the pre-compaction delta files
+    before = eng.read_final().count()
+
+    lake2 = LakeTable(
+        str(tmp_path / "fs-t"), data_fs=DataFS(pafs.LocalFileSystem())
+    )
+    out = lake2.expire_snapshots(keep_last=1)
+    assert out["expired_versions"] >= 1
+    assert out["removed_files"] >= 1  # pre-compaction files actually deleted
+    # orphan for vacuum, old enough to sweep
+    orphan = os.path.join(lake2.data_dir, "commit-77-cafe", "_bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-x.parquet"), "wb") as f:
+        f.write(b"junk")
+    import time
+
+    past = time.time() - 7200
+    os.utime(os.path.join(orphan, "part-x.parquet"), (past, past))
+    assert lake2.vacuum(min_age_seconds=3600)["removed_files"] == 1
+    # the file is gone; the empty dir stays (empty-dir pruning is a
+    # documented no-op under a pyarrow filesystem — object stores have
+    # no directories to prune)
+    assert not os.path.exists(os.path.join(orphan, "part-x.parquet"))
+    assert eng.read_final().count() == before

@@ -105,3 +105,30 @@ def test_quarantine_off_fails_loudly(spark, tmp_path):
     ev = _events(spark, _EPOCHS[0], 0).unionByName(_bad_rows(spark, 0))
     with pytest.raises(Exception):
         eng.apply_epoch(ev, 0)
+
+
+def test_quarantine_off_null_key_fails_before_write(spark, tmp_path):
+    """A PURE null-key row (every other envelope field valid) must fail a
+    quarantine=False epoch up front: Spark's xxhash64 returns its seed
+    for NULL input, so without the explicit pre-scan check the row would
+    bucket normally and be applied silently — the stray-bucket invariant
+    never fires."""
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "nk-t"),
+        checkpoint_path=str(tmp_path / "nk-c"),
+        num_buckets=8,
+        quarantine=False,
+    )
+    ts = datetime.fromisoformat("2024-01-01 00:30:00")
+    pay = (b"<html><body><p>ok</p></body></html>", "en")
+    ev = spark.createDataFrame(
+        [
+            ("I", "https://q/good", ts, 1, pay, 0),
+            ("I", None, ts, 2, pay, 0),  # null key, everything else valid
+        ],
+        EV_SCHEMA,
+    )
+    with pytest.raises(ValueError, match="malformed"):
+        eng.apply_epoch(ev, 0)
+    assert eng.lake.epochs_applied() == set()  # nothing was written
