@@ -120,7 +120,13 @@ class DataFS:
 
     def walk_files(self, directory: str) -> list[tuple[str, float]]:
         """All plain files under ``directory`` recursively, as
-        (path, mtime-epoch-seconds) pairs; [] if it does not exist."""
+        (path, mtime-epoch-seconds) pairs; [] if it does not exist.
+
+        A filesystem that does not report mtimes gets NOW, i.e. age 0:
+        callers use age for min-age safety guards (vacuum's "don't
+        delete what an in-flight commit just wrote"), and an unknown age
+        must read as too YOUNG to touch — 0.0 would read as infinitely
+        old and delete a live in-flight file."""
         if self.pafs is None:
             out: list[tuple[str, float]] = []
             for root, _dirs, files in os.walk(directory):
@@ -131,21 +137,30 @@ class DataFS:
                     except FileNotFoundError:
                         pass  # concurrent maintenance got it first
             return sorted(out)
+        import time as _time
+
         from pyarrow import fs as pafs_mod
 
+        now = _time.time()
         sel = pafs_mod.FileSelector(directory, recursive=True, allow_not_found=True)
         return sorted(
-            (info.path, info.mtime.timestamp() if info.mtime else 0.0)
+            (info.path, info.mtime.timestamp() if info.mtime else now)
             for info in self.pafs.get_file_info(sel)
             if info.type == pafs_mod.FileType.File
         )
 
     def mtime(self, path: str) -> float:
-        """Modification time as epoch seconds (0.0 when unknown)."""
+        """Modification time as epoch seconds. Unknown mtime returns NOW
+        (age 0) — see :meth:`walk_files` for why unknown must mean too
+        young, never infinitely old."""
         if self.pafs is None:
             return os.stat(path).st_mtime
         info = self.pafs.get_file_info(path)
-        return info.mtime.timestamp() if info.mtime else 0.0
+        if info.mtime:
+            return info.mtime.timestamp()
+        import time as _time
+
+        return _time.time()
 
     def prune_empty_dirs(self, directory: str) -> None:
         """Best-effort bottom-up removal of empty sub-directories. Only

@@ -604,6 +604,22 @@ class CDCApplyEngine:
                         # winner records the epoch's audit metrics
                         committed = False
                         break
+                    # same staleness rule as _commit's conflict path: the
+                    # merge plan baked the gc horizon in as a literal, and
+                    # staged commits never conflict (only the publish flip
+                    # does) — so a GC advancing the horizon between stage
+                    # and publish lands HERE. Re-staging the stale plan
+                    # would apply events at/below the new horizon,
+                    # resurrecting keys whose tombstones that GC dropped.
+                    cur_h = self.lake.gc_horizon()
+                    if cur_h != horizon:
+                        raise RuntimeError(
+                            f"epoch {epoch}: gc horizon advanced from "
+                            f"{horizon!r} to {cur_h!r} while this apply was "
+                            f"in flight; the epoch's admission filter is "
+                            f"stale — re-apply the epoch to re-plan against "
+                            f"the new horizon"
+                        ) from None
                     if attempt == 2:
                         raise
                     committed, rows_written, inline_obs = _stage_and_commit()

@@ -398,13 +398,16 @@ class LakeTable:
             file_groups[json.dumps(json.loads(m["schema"]), sort_keys=True)] = {}
         return file_groups, delta_groups, file_stats, ts_stats
 
-    def snapshot(self, version: int) -> Snapshot:
-        """Load a specific snapshot by version — the time-travel entry
-        point (Iceberg: ``VERSION AS OF``). Manifests are immutable and
-        never vacuumed here, and commits never delete data files, so every
-        published version stays readable."""
-        m = self._manifest_raw(version)
-        file_groups, delta_groups, file_stats, ts_stats = self._resolve_groups(m)
+    def _snapshot_from_raw(
+        self, m: dict, buckets: set[int] | None = None
+    ) -> Snapshot:
+        """The ONE place a raw manifest dict becomes a Snapshot — every
+        new manifest field (gc_horizon and ts_stats both arrived after
+        the first two copies of this constructor diverged) is threaded
+        through here once, for full reads and bucket-pruned reads alike."""
+        file_groups, delta_groups, file_stats, ts_stats = self._resolve_groups(
+            m, buckets=buckets
+        )
         return Snapshot(
             version=m["version"],
             epochs=_epochs_of(m),
@@ -417,6 +420,13 @@ class LakeTable:
             file_stats=file_stats,
             ts_stats=ts_stats,
         )
+
+    def snapshot(self, version: int) -> Snapshot:
+        """Load a specific snapshot by version — the time-travel entry
+        point (Iceberg: ``VERSION AS OF``). Manifests are immutable and
+        never vacuumed here, and commits never delete data files, so every
+        published version stays readable."""
+        return self._snapshot_from_raw(self._manifest_raw(version))
 
     def _all_manifest_versions(self) -> list[int]:
         return sorted(
@@ -605,22 +615,7 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         if v is None:
             return None
-        m = self._manifest_raw(v)
-        file_groups, delta_groups, file_stats, ts_stats = self._resolve_groups(
-            m, buckets=buckets
-        )
-        return Snapshot(
-            version=m["version"],
-            epochs=_epochs_of(m),
-            schema=StructType.fromJson(json.loads(m["schema"])),
-            file_groups=file_groups,
-            summary=m.get("summary", {}),
-            delta_groups=delta_groups,
-            gc_horizon=m.get("gc_horizon"),
-            table_props=m.get("table"),
-            file_stats=file_stats,
-            ts_stats=ts_stats,
-        )
+        return self._snapshot_from_raw(self._manifest_raw(v), buckets=buckets)
 
     def _key_bucket(self, key_value: str, version: int | None = None) -> int:
         """The key's bucket under the table properties AS OF a version —
@@ -644,21 +639,7 @@ class LakeTable:
         props = m.get("table") or {}
         num_buckets = int(props.get("num_buckets", self.num_buckets))
         bucket = _xxhash64_str(key_value) % num_buckets
-        file_groups, delta_groups, file_stats, ts_stats = self._resolve_groups(
-            m, buckets={bucket}
-        )
-        snap = Snapshot(
-            version=m["version"],
-            epochs=_epochs_of(m),
-            schema=StructType.fromJson(json.loads(m["schema"])),
-            file_groups=file_groups,
-            summary=m.get("summary", {}),
-            delta_groups=delta_groups,
-            gc_horizon=m.get("gc_horizon"),
-            table_props=m.get("table"),
-            file_stats=file_stats,
-            ts_stats=ts_stats,
-        )
+        snap = self._snapshot_from_raw(m, buckets={bucket})
         stats = snap.file_stats or {}
 
         def _prune(groups: dict[str, list[str]]) -> dict[str, list[str]]:

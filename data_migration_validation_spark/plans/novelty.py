@@ -232,48 +232,61 @@ class NoveltyFilter:
         index check (an absent bloom defaults to HIT in the pre-pass)."""
         nbytes = self.bloom_bits // 8
         need = max(committed_epochs) if committed_epochs else None
-        self._load_blooms()
-        assert self._bloom_cache is not None
 
         def usable(bm: np.ndarray, head: int) -> bool:
             return len(bm) == nbytes and (need is None or head >= need)
 
-        # at most ONE refresh per high-water mark: a bucket that stays
-        # uncovered after its refresh (legacy bare bloom or a geometry
-        # change awaiting rebuild_blooms, both head=-1) must not turn
-        # every subsequent admit into n_buckets store reads — it is
-        # simply omitted, routing its members to the exact index check
-        if (
-            need is not None
-            and need > self._bloom_refreshed_for
-            and any(head < need for _bm, head in self._bloom_cache.values())
-        ):
+        # at most ONE refresh per high-water mark advance. The refresh is
+        # UNCONDITIONAL on the cached heads: a head only records the MAX
+        # epoch this or some writer folded, never interior coverage — in
+        # a gap replay this process can fold epoch 5 (cached head=5)
+        # while ANOTHER process later folds epochs 3-4 into the store, so
+        # a head>=need shortcut would trust a cache missing committed
+        # bits and silently re-admit epoch-3 content on a bloom MISS.
+        # The store copy itself is always a superset of every committed
+        # epoch's bits (folds are CAS-unions and run before the epoch's
+        # lake commit), so cache==store-at-watermark is sufficient.
+        if self._bloom_cache is None:
+            self._load_blooms()
+            if need is not None:
+                self._bloom_refreshed_for = max(self._bloom_refreshed_for, need)
+        elif need is not None and need > self._bloom_refreshed_for:
             self._load_blooms(refresh=True)
             self._bloom_refreshed_for = need
+        assert self._bloom_cache is not None
         return {
             b: bm
             for b, (bm, head) in self._bloom_cache.items()
             if usable(bm, head)
         }
 
-    def _save_bloom(self, b: int, add: np.ndarray, epoch: int) -> None:
+    def _save_bloom(
+        self, b: int, add: np.ndarray, epoch: int, rebuild_head: int | None = None
+    ) -> None:
         """CAS-fold ``add`` into bucket ``b``'s stored bloom. Retries on a
         lost race with the freshly-read content, so concurrent folds
-        union rather than clobber. A stored bitmap of a DIFFERENT
-        geometry (resized filter) is replaced but tagged head=-1 —
-        untrusted until ``rebuild_blooms`` re-derives coverage."""
+        union rather than clobber — bits are only ever ADDED, which keeps
+        the store a superset of every committed epoch's fingerprints
+        (extra bits cost an exact check, missing bits would cost a silent
+        re-admit). A stored bitmap of a DIFFERENT geometry (resized
+        filter) is replaced: a normal fold can only vouch for its own
+        epoch's bits, so it tags head=-1 (untrusted until
+        ``rebuild_blooms``); a rebuild's bits ARE the full committed
+        index, so ``rebuild_head`` stands."""
         name = f"fpb{b}"
         nbytes = self.bloom_bits // 8
+        claim = int(epoch) if rebuild_head is None else int(rebuild_head)
         for _ in range(64):
             raw = self.store.read(name)
             if raw is None:
-                merged, new_head = add, int(epoch)
+                merged, new_head = add, claim
             else:
                 cur, head = self._decode(raw)
                 if len(cur) != nbytes:
-                    merged, new_head = add, -1
+                    merged = add
+                    new_head = -1 if rebuild_head is None else claim
                 else:
-                    merged, new_head = cur | add, max(head, int(epoch))
+                    merged, new_head = cur | add, max(head, claim)
             expected = raw.strip() if raw is not None else None
             if self.store.cas(name, expected, self._encode(merged, new_head)):
                 if self._bloom_cache is None:
@@ -519,7 +532,11 @@ class NoveltyFilter:
             remaining -= set(cur["epochs"])
         if remaining:
             missing = remaining - self._epoch_dirs_on_disk()
-            if missing:
+            if missing and cur is not None and missing & set(cur["epochs"]):
+                # these epochs WERE indexed and their partitions were
+                # folded into a generation this admit cannot use (it
+                # contains later epochs) — reading on would silently drop
+                # committed history
                 raise RuntimeError(
                     f"novelty index at {self.root}: committed epochs "
                     f"{sorted(missing)} have neither a per-epoch partition "
@@ -527,6 +544,14 @@ class NoveltyFilter:
                     f"admit below the compaction head after its source "
                     f"partitions were folded away is not supported"
                 )
+            # epochs never indexed at all: the filter was enabled on a
+            # table with pre-existing committed epochs (no fold has ever
+            # mentioned them). Their fingerprints were never computed, so
+            # the only possible semantics is the bootstrap one — their
+            # content is unknown history and re-admits; raising here
+            # would wedge ingest forever (those partitions will never
+            # appear). Exclude them and read what exists.
+            remaining -= missing
             if self._index_has_data():
                 parts.append(
                     spark.read.parquet(self.index_dir)
@@ -554,11 +579,16 @@ class NoveltyFilter:
         then always covers the folded epochs, so the trusted-epoch
         contract survives — an admit for epoch N > head sees exactly the
         history it would have read from the per-epoch partitions. The
-        new generation is written first, the pointer CAS-flips, and only
-        then are the folded per-epoch partitions and the previous
-        generation removed (a crash in between leaves harmless
-        duplicates, never a gap). Returns the total number of folded
-        epochs.
+        new generation is written first, the pointer CAS-flips, and the
+        directories it makes redundant (the folded per-epoch partitions
+        and the previous generation) are NOT removed yet: they are
+        recorded in the pointer's ``reclaim`` list and deleted by the
+        NEXT maintenance pass. An admit that planned its read against the
+        previous pointer can therefore finish its Spark job against
+        intact files — immediate removal would FileNotFound a concurrent
+        reader mid-job. The grace window is one maintenance cadence;
+        until then the duplicates are harmless (admission is an anti-/
+        semi-join). Returns the total number of folded epochs.
 
         Concurrency: each fold attempt writes a UNIQUELY-NAMED generation
         directory (recorded in the pointer), and the pointer CAS compares
@@ -585,6 +615,23 @@ class NoveltyFilter:
             return 0
         raw0 = self.store.read("_compact")
         cur = json.loads(raw0) if raw0 else None
+        # reclaim what the PREVIOUS flip made redundant: one maintenance
+        # cadence has passed, so readers that planned against the pointer
+        # before that flip have drained. Deleting up front (not after our
+        # own CAS) keeps the cleanup crash-safe and idempotent — a lost
+        # race or an early return changes nothing, the pointer's reclaim
+        # list and folded-epoch sweep simply run again next pass. The
+        # per-epoch sweep covers EVERY epoch the live generation folds,
+        # which also collects partitions a lagging replayer re-created
+        # below the fold head after the flip.
+        if cur is not None:
+            for rel in cur.get("reclaim") or []:
+                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+            for fe in cur["epochs"]:
+                shutil.rmtree(
+                    os.path.join(self.index_dir, f"epoch={fe}"),
+                    ignore_errors=True,
+                )
         folded_prev: set[int] = set(cur["epochs"]) if cur else set()
         allc = {int(e) for e in committed_epochs} | folded_prev
         lo = min(allc)
@@ -624,8 +671,24 @@ class NoveltyFilter:
                 .partitionBy(FPB_COL)
                 .parquet(gen)
             )
+        # what THIS flip makes redundant — deleted by the next pass, not
+        # now (a concurrent admit may still be scanning these files).
+        # Folded per-epoch partitions are swept from the pointer's epochs
+        # list, so only the superseded generation needs recording here.
+        reclaim = []
+        if cur is not None:
+            reclaim.append(
+                os.path.join(
+                    "index_compact", cur.get("gen", f"h{cur['head']}")
+                )
+            )
         content = json.dumps(
-            {"head": head, "epochs": sorted(new_folded), "gen": gen_name},
+            {
+                "head": head,
+                "epochs": sorted(new_folded),
+                "gen": gen_name,
+                "reclaim": reclaim,
+            },
             sort_keys=True,
         )
         expected = raw0.strip() if raw0 is not None else None
@@ -635,13 +698,6 @@ class NoveltyFilter:
             shutil.rmtree(gen, ignore_errors=True)
             new = self._compact_state()
             return len(new["epochs"]) if new else len(folded_prev)
-        # pointer flipped: reclaim what the new generation covers
-        for fe in new_folded:
-            shutil.rmtree(
-                os.path.join(self.index_dir, f"epoch={fe}"), ignore_errors=True
-            )
-        if old_gen is not None and old_gen != gen:
-            shutil.rmtree(old_gen, ignore_errors=True)
         return len(new_folded)
 
     def _bloom_hit_udf(self, spark: SparkSession, blooms: dict[int, np.ndarray]):
@@ -677,11 +733,10 @@ class NoveltyFilter:
     ) -> None:
         """Fold ``novel``'s fingerprints into the stored blooms. Default:
         CAS-fold per bucket, head advanced to ``epoch``. With
-        ``rebuild_head`` set: unconditional overwrite with exactly the
-        computed bits and that head — the recovery path. A rebuild racing
-        an active fold may shed that fold's bits, but its head then sits
-        below the folder's epoch, so once that epoch commits the bloom is
-        stale-by-head and admission exact-checks instead of trusting it."""
+        ``rebuild_head`` set (the recovery path): still a CAS-fold, but
+        claiming that head — sound because the rebuild's bits are the
+        full committed index, and unioning (never overwriting) means a
+        concurrent fold's bits survive the race."""
         bits, k = self.bloom_bits, self.bloom_k
         nbytes = bits // 8
 
@@ -704,13 +759,13 @@ class NoveltyFilter:
         for row in partials:
             b = row["b"]
             add = np.frombuffer(row["bm"], dtype=np.uint8)
-            if rebuild_head is not None:
-                self.store.write(f"fpb{b}", self._encode(add, rebuild_head))
-                if self._bloom_cache is None:
-                    self._bloom_cache = {}
-                self._bloom_cache[b] = (add, rebuild_head)
-            else:
-                self._save_bloom(b, add, epoch)
+            # rebuild included: still a CAS-UNION, never an overwrite — a
+            # blind overwrite racing an in-flight fold would shed that
+            # fold's bits, and under out-of-order replay the shed epoch
+            # can sit BELOW max(committed), where the head>=need trust
+            # check cannot see the hole. OR-ing keeps the superset
+            # invariant; rebuild only differs in the head it may claim.
+            self._save_bloom(b, add, epoch, rebuild_head=rebuild_head)
         # buckets with no admitted rows this epoch keep their stored bloom
 
     # -- near-duplicate admission (MinHash-banded) -----------------------------

@@ -80,3 +80,33 @@ def test_parquet_rows_matches_across_backends(spark, tmp_path):
     spark.range(1234).write.parquet(p)
     assert _parquet_rows(p) == 1234
     assert _parquet_rows(p, fs=DataFS(pafs.LocalFileSystem())) == 1234
+
+
+def test_unknown_mtime_reads_as_young_not_ancient():
+    """A filesystem that does not report mtimes must make files look
+    BRAND NEW, not infinitely old: vacuum's min-age guard compares
+    now - mtime, and an unknown age of 0.0 would read as ancient and
+    delete a live in-flight commit's files."""
+    import time
+
+    import pyarrow.fs as pafs
+
+    from data_migration_validation_spark.fsio import DataFS
+
+    class NoMtimeFS:
+        def get_file_info(self, sel):
+            info = pafs.FileInfo(
+                "bucket/t/part-0.parquet",
+                type=pafs.FileType.File,
+                mtime=None,
+                size=3,
+            )
+            return [info] if isinstance(sel, pafs.FileSelector) else info
+
+    fs = DataFS(NoMtimeFS())
+    now = time.time()
+    [(path, mt)] = fs.walk_files("bucket/t")
+    assert path == "bucket/t/part-0.parquet"
+    assert now - 5 <= mt <= now + 5, "unknown mtime must read as age ~0"
+    mt2 = fs.mtime("bucket/t/part-0.parquet")
+    assert now - 5 <= mt2 <= now + 5

@@ -481,3 +481,62 @@ def test_maintenance_ops_work_through_pyarrow_data_fs(spark, tmp_path):
     # no directories to prune)
     assert not os.path.exists(os.path.join(orphan, "part-x.parquet"))
     assert eng.read_final().count() == before
+
+
+def test_audited_publish_conflict_refuses_stale_horizon_plan(spark, tmp_path):
+    """Same staleness rule on the write-audit-publish path: STAGED
+    commits never conflict (only the publish flip does), so a GC
+    compaction advancing the horizon between stage and publish lands in
+    the publish-retry loop — which must fail the epoch loudly instead of
+    silently re-staging the merge plan whose admission filter baked the
+    OLD horizon in as a literal (re-staging would apply events at/below
+    the new horizon, resurrecting keys whose tombstones that GC just
+    dropped)."""
+    from data_migration_validation_spark.operators.audit import page_envelope_audit
+    from data_migration_validation_spark.plans.lake import CommitConflictError
+
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "wap-t"),
+        checkpoint_path=str(tmp_path / "wap-c"),
+        num_buckets=4,
+        compact_every=None,
+    )
+    url = "https://a.example.com/x"
+    eng.apply_epoch(
+        _events(spark, [("I", url, "2024-01-01 00:00:00", 0)], 0),
+        0,
+        audit=page_envelope_audit(),
+    )
+    lake = eng.lake
+    real_publish = lake.publish
+    state = {"fired": False}
+
+    def racing_publish(staged_v):
+        if not state["fired"]:
+            state["fired"] = True
+            # a GC compaction lands between this epoch's stage and publish
+            lake.compact(spark, gc_horizon_ts="2024-01-02 00:00:00")
+            raise CommitConflictError("simulated publish flip race")
+        return real_publish(staged_v)
+
+    lake.publish = racing_publish
+    try:
+        with pytest.raises(RuntimeError, match="horizon advanced"):
+            eng.apply_epoch(
+                _events(spark, [("U", url, "2024-01-03 00:00:00", 1)], 1),
+                1,
+                audit=page_envelope_audit(),
+            )
+    finally:
+        lake.publish = real_publish
+    assert lake.epochs_applied() == {0}  # the stale plan never landed
+    assert lake.staged_versions() == []  # the losing stage was rejected
+    # a fresh apply re-plans against the new horizon and succeeds
+    st = eng.apply_epoch(
+        _events(spark, [("U", url, "2024-01-03 00:00:00", 1)], 1),
+        1,
+        audit=page_envelope_audit(),
+    )
+    assert not st.rejected
+    assert lake.epochs_applied() == {0, 1}

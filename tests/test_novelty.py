@@ -603,10 +603,10 @@ def test_index_compaction_identical_decisions_exact(spark, tmp_path):
 
     folded = comp.novelty.compact_index(spark, comp.lake.epochs_applied())
     assert folded == 2
-    # per-epoch partitions folded away, compacted generation present
-    assert not any(
-        d.startswith("epoch=") for d in os.listdir(comp.novelty.index_dir)
-    )
+    # per-epoch partitions stay on disk for ONE maintenance cadence (a
+    # concurrent admit may still be scanning them), but reads already
+    # plan from the compacted generation only
+    assert {0, 1} <= comp.novelty._epoch_dirs_on_disk()
     idx = comp.novelty._read_index(spark, {0, 1})
     assert all("index_compact" in f for f in idx.inputFiles())
 
@@ -615,8 +615,15 @@ def test_index_compaction_identical_decisions_exact(spark, tmp_path):
         comp.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
     assert _urls(comp) == _urls(plain) == {"u/a", "u/b", "u/c", "u/e", "u/g"}
 
-    # second fold extends the generation and stays consistent
+    # second fold extends the generation and stays consistent; it also
+    # reclaims what the FIRST flip made redundant
     assert comp.novelty.compact_index(spark, comp.lake.epochs_applied()) == 4
+    assert comp.novelty._epoch_dirs_on_disk() & {0, 1} == set()
+    # a third (no-op) pass reclaims the second flip's leftovers too
+    assert comp.novelty.compact_index(spark, comp.lake.epochs_applied()) == 4
+    assert comp.novelty._epoch_dirs_on_disk() == set()
+    gens = os.listdir(comp.novelty.compact_dir)
+    assert len(gens) == 1  # superseded generations swept
     st = comp.apply_epoch(
         spark.createDataFrame([_ev("I", "u/h", 40, "beta text", 4)], SCHEMA), 4
     )
@@ -794,6 +801,10 @@ def test_trusted_index_allows_own_epoch_in_generation(spark, tmp_path):
         eng.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
     nf = eng.novelty
     assert nf.compact_index(spark, {0, 1}) == 2
+    # second (no-op) pass actually reclaims the folded per-epoch dirs —
+    # during the grace window reads fall back to them and nothing raises
+    assert nf.compact_index(spark, {0, 1}) == 2
+    assert nf._epoch_dirs_on_disk() == set()
     idx = nf._read_index(spark, {0}, epoch=1)
     assert idx is not None and idx.count() == 2
     with pytest.raises(RuntimeError, match="neither a per-epoch partition"):
@@ -834,3 +845,118 @@ def test_bloom_refresh_once_per_high_water_mark(spark, tmp_path):
 
     nf._blooms_for({0, 1, 2})  # higher watermark → one more refresh
     assert len(reads) > n_after_first
+
+
+def test_bloom_cache_refreshes_on_watermark_advance(tmp_path):
+    """A cached head >= need must NOT skip the store refresh: head
+    records the MAX epoch some writer folded, never interior coverage.
+    Gap replay: process P folds epoch 2 (its cache then carries head=2)
+    while epoch 1 is still uncommitted; process Q later folds epoch 1's
+    bits into the store; P admits with committed={0,1,2}. P's cache
+    lacks Q's bits — without a refresh, epoch-1 content bloom-MISSes,
+    and misses skip the exact check by design: a silent re-admit."""
+    from data_migration_validation_spark.plans.novelty import NoveltyFilter
+
+    root = str(tmp_path / "nv-stale")
+    p = NoveltyFilter(root, n_buckets=2, bloom_bits=1 << 12)
+    q = NoveltyFilter(root, n_buckets=2, bloom_bits=1 << 12)
+    nbytes = (1 << 12) // 8
+    bits_p = np.zeros(nbytes, dtype=np.uint8)
+    bits_p[0] = 1
+    bits_q = np.zeros(nbytes, dtype=np.uint8)
+    bits_q[1] = 2
+    p._save_bloom(0, bits_p, epoch=2)  # P folds epoch 2 first (gap open)
+    q._save_bloom(0, bits_q, epoch=1)  # Q folds epoch 1 into the store
+    out = p._blooms_for({0, 1, 2})  # P admits the next epoch
+    assert 0 in out, "head=2 covers need=2: bloom must be trusted"
+    assert out[0][0] == 1 and out[0][1] == 2, (
+        "cache was not refreshed at the watermark advance: Q's committed "
+        "bits are missing and their content would silently re-admit"
+    )
+
+
+def test_rebuild_blooms_never_sheds_concurrent_fold_bits(spark, tmp_path):
+    """rebuild_blooms must CAS-UNION, not overwrite: a blind overwrite
+    racing an in-flight fold sheds that fold's bits, and under
+    out-of-order replay the shed epoch can sit BELOW max(committed),
+    where the head>=need trust check cannot see the hole."""
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "rb"),
+        checkpoint_path=str(tmp_path / "rb-ckpt"),
+        num_buckets=4,
+        compact_every=None,
+        novelty_filter=True,
+        novelty_buckets=1,  # all fingerprints land in fpb0
+        novelty_bloom_bits=1 << 12,
+    )
+    eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/a", 1, "alpha text")], SCHEMA), 0
+    )
+    nf = eng.novelty
+    nbytes = (1 << 12) // 8
+    inflight = np.zeros(nbytes, dtype=np.uint8)
+    inflight[7] = 8
+    nf._save_bloom(0, inflight, epoch=5)  # concurrent fold, epoch 5 in flight
+    nf.rebuild_blooms(spark, eng.lake.epochs_applied())  # claims head 0
+    bm, head = nf._decode(nf.store.read("fpb0"))
+    assert head == 5, "rebuild must never regress a stored head"
+    assert bm[7] & 8, "rebuild shed a concurrent fold's bits"
+
+
+def test_novelty_enabled_on_existing_table_bootstraps(spark, tmp_path):
+    """Enabling the filter on a table with pre-existing committed epochs
+    must not wedge ingest: those epochs were never indexed (their
+    fingerprints were never computed), so their content is unknown
+    history — it re-admits, and the filter applies from the enable point
+    on. Raising instead would fail every subsequent apply forever."""
+    path, ckpt = str(tmp_path / "boot"), str(tmp_path / "boot-ckpt")
+    plain = CDCApplyEngine(
+        spark, table_path=path, checkpoint_path=ckpt, num_buckets=4,
+        compact_every=None,
+    )
+    plain.apply_epoch(
+        spark.createDataFrame(
+            [_ev("I", "u/a", 1, "alpha text"), _ev("I", "u/b", 2, "beta text")],
+            SCHEMA,
+        ),
+        0,
+    )
+    nv = CDCApplyEngine(
+        spark, table_path=path, checkpoint_path=ckpt, num_buckets=4,
+        compact_every=None, novelty_filter=True, novelty_buckets=4,
+        novelty_bloom_bits=1 << 12,
+    )
+    # pre-enable content is unknown history: the dup of u/a re-admits
+    st1 = nv.apply_epoch(
+        spark.createDataFrame(
+            [_ev("I", "u/c", 10, "gamma text", 1),
+             _ev("I", "u/d", 11, "alpha text", 1)],
+            SCHEMA,
+        ),
+        1,
+    )
+    assert st1.novelty_dropped == 0
+    # post-enable history gates normally
+    st2 = nv.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/e", 20, "gamma text", 2)], SCHEMA), 2
+    )
+    assert st2.novelty_dropped == 1
+    assert _urls(nv) == {"u/a", "u/b", "u/c", "u/d"}
+
+
+def test_compaction_defers_reclaim_for_inflight_readers(spark, tmp_path):
+    """An admit that planned its index read against the pre-fold pointer
+    must be able to finish its Spark job: the fold defers deleting the
+    directories it supersedes to the NEXT maintenance pass instead of
+    removing them under a concurrent reader."""
+    eng = _engine(spark, tmp_path, name="grace")
+    for e, rows in enumerate(
+        [[_ev("I", "u/a", 1, "alpha text")], [_ev("I", "u/b", 10, "beta text", 1)]]
+    ):
+        eng.apply_epoch(spark.createDataFrame(rows, SCHEMA), e)
+    nf = eng.novelty
+    idx = nf._read_index(spark, {0, 1})  # plans against per-epoch dirs
+    assert all("index_compact" not in f for f in idx.inputFiles())
+    assert nf.compact_index(spark, {0, 1}) == 2  # pointer flips mid-read
+    assert idx.count() == 2  # the in-flight plan still finds its files
