@@ -172,3 +172,122 @@ def test_engine_matches_lww_model(spark, stream, n_epochs, cfg, crash):
         assert again.skipped
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Novelty-filter property: engine with novelty_filter="exact" vs a
+# sequential seen-set model.
+# --------------------------------------------------------------------------
+
+# (key index, ts step, op, content id): a tiny content alphabet makes
+# cross-key and cross-epoch text collisions — the cases novelty gates —
+# the common path, not the rare one.
+nov_event_st = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=5),
+    st.sampled_from(["I", "U", "U", "D"]),
+    st.integers(min_value=0, max_value=3),
+)
+
+
+def _nov_rows(stream, n_epochs):
+    rows = []
+    for seq, (k, ts_step, op, cid) in enumerate(stream):
+        url = f"u{k}"
+        ts = T0 + timedelta(hours=ts_step)
+        if op == "D":
+            rows.append(("D", url, ts, seq, (None, None), seq % n_epochs))
+        else:
+            html = f"<html><body><p>content {cid}</p></body></html>".encode()
+            rows.append((op, url, ts, seq, (html, f"l{seq % 3}"), seq % n_epochs))
+    return rows
+
+
+def _novelty_model_final(rows, n_epochs):
+    """Sequential oracle for plans/novelty.py admit() semantics: per
+    epoch, LWW winners; upsert winners in (warc_ts, seq, key) order are
+    admitted iff their TEXT was never admitted before (seen-ever, in-epoch
+    dups collapse to the first); deletes always pass through. The final
+    table is LWW over the admitted rows."""
+    seen: set[str] = set()
+    admitted: list[tuple] = []
+    for epoch in range(n_epochs):
+        winners: dict[str, tuple] = {}
+        for op, url, ts, seq, payload, ep in rows:
+            if ep != epoch:
+                continue
+            cur = winners.get(url)
+            if cur is None or (ts, seq) > (cur[2], cur[3]):
+                winners[url] = (op, url, ts, seq, payload)
+        ups = sorted(
+            (w for w in winners.values() if w[0] != "D"),
+            key=lambda w: (w[2], w[3], w[1]),
+        )
+        for op, url, ts, seq, (html, lang) in ups:
+            text = html.decode().split("<p>", 1)[1].split("</p>", 1)[0]
+            if text not in seen:
+                seen.add(text)
+                admitted.append((op, url, ts, seq, html, lang, text))
+        admitted.extend(
+            (op, url, ts, seq, None, None, None)
+            for op, url, ts, seq, _ in winners.values()
+            if op == "D"
+        )
+    final: dict[str, tuple] = {}
+    for row in admitted:
+        cur = final.get(row[1])
+        if cur is None or (row[2], row[3]) > (cur[2], cur[3]):
+            final[row[1]] = row
+    return {
+        (url, ts, seq, html, lang, text)
+        for op, url, ts, seq, html, lang, text in final.values()
+        if op != "D"
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    stream=st.lists(nov_event_st, min_size=4, max_size=20),
+    n_epochs=st.integers(min_value=1, max_value=3),
+    text_extract=st.sampled_from(["arrow", "expr"]),
+)
+def test_novelty_filter_matches_seen_set_model(spark, stream, n_epochs, text_extract):
+    rows = _nov_rows(stream, n_epochs)
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    tmp = tempfile.mkdtemp(prefix="prop-novelty-")
+    try:
+        engine = CDCApplyEngine(
+            spark,
+            table_path=f"{tmp}/table",
+            checkpoint_path=f"{tmp}/ckpt",
+            num_buckets=4,
+            novelty_filter="exact",
+            novelty_buckets=4,
+            text_extract=text_extract,
+        )
+        for epoch in range(n_epochs):
+            engine.apply_epoch(events.where(f"batch_epoch = {epoch}"), epoch)
+        final = engine.read_final()
+        got = (
+            set()
+            if final is None
+            else {
+                (
+                    r["url"],
+                    r["warc_ts"],
+                    r["seq"],
+                    bytes(r["html"]) if r["html"] is not None else None,
+                    r["lang"],
+                    r["text"],
+                )
+                for r in final.select("url", "warc_ts", "seq", "html", "lang", "text").collect()
+            }
+        )
+        assert got == _novelty_model_final(rows, n_epochs)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
