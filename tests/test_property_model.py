@@ -291,3 +291,218 @@ def test_novelty_filter_matches_seen_set_model(spark, stream, n_epochs, text_ext
         assert got == _novelty_model_final(rows, n_epochs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Reconciliation property: cogroup_reconcile (and, absent dup keys,
+# snapshot_diff) vs a pure-Python keyed-diff model.
+# --------------------------------------------------------------------------
+
+import base64  # noqa: E402
+
+from data_migration_validation_spark.operators.reconcile import (  # noqa: E402
+    cogroup_reconcile,
+    snapshot_diff,
+)
+
+REC_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.LongType(), nullable=False),
+        T.StructField("c", T.BinaryType()),
+    ]
+)
+
+# (key idx, nullable short string incl. "", non-null long, nullable bytes):
+# nulls, empty-string-vs-null, and byte-level diffs are all common draws.
+rec_row_st = st.tuples(
+    st.integers(min_value=0, max_value=5),
+    st.one_of(st.none(), st.sampled_from(["x", "y", ""])),
+    st.integers(min_value=-2, max_value=2),
+    st.one_of(st.none(), st.binary(max_size=3)),
+)
+rec_table_st = st.lists(rec_row_st, max_size=10)
+
+
+def _rec_rows(t):
+    return [(f"k{k}", a, b, bytes(c) if c is not None else None) for k, a, b, c in t]
+
+
+def _rec_render(v):
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return base64.b64encode(v).decode("ascii")
+    return str(v)
+
+
+def _rec_model(old_rows, new_rows):
+    """The reference's keyed diff (docs/script.js:318-340 semantics, as
+    reborn in operators/reconcile.py): dup keys short-circuit, membership
+    deltas, per-column mismatches with both-null treated as equal."""
+    out = set()
+    for k in {r[0] for r in old_rows} | {r[0] for r in new_rows}:
+        o = [r for r in old_rows if r[0] == k]
+        n = [r for r in new_rows if r[0] == k]
+        if len(o) > 1 or len(n) > 1:
+            out.add((k, "", str(len(o)), str(len(n)), "dup_key"))
+        elif not o:
+            out.add((k, "", None, None, "only_in_new"))
+        elif not n:
+            out.add((k, "", None, None, "only_in_old"))
+        else:
+            for i, c in enumerate(("a", "b", "c"), start=1):
+                ov, nv = o[0][i], n[0][i]
+                if ov is None and nv is None:
+                    continue
+                if ov is not None and nv is not None and ov == nv:
+                    continue
+                out.add((k, c, _rec_render(ov), _rec_render(nv), "mismatch"))
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(old_t=rec_table_st, new_t=rec_table_st)
+def test_reconcile_matches_keyed_diff_model(spark, old_t, new_t):
+    old_rows, new_rows = _rec_rows(old_t), _rec_rows(new_t)
+    old = spark.createDataFrame(old_rows, REC_SCHEMA)
+    new = spark.createDataFrame(new_rows, REC_SCHEMA)
+    expected = _rec_model(old_rows, new_rows)
+
+    got = {tuple(r) for r in cogroup_reconcile(old, new, key="k").collect()}
+    assert got == expected
+
+    # the declarative twin agrees wherever it is defined (it cannot
+    # distinguish dup keys from mismatches, so only dup-free examples)
+    if not any(kind == "dup_key" for *_, kind in expected):
+        got_join = {tuple(r) for r in snapshot_diff(old, new, key="k").collect()}
+        assert got_join == expected
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution property: the payload gains a column and widens a type
+# at an arbitrary epoch; the final state must equal the model with nulls
+# for pre-evolution winners and upcast numerics, in BOTH merge modes.
+# --------------------------------------------------------------------------
+
+
+def _evo_schema(evolved: bool) -> T.StructType:
+    payload = [
+        T.StructField("html", T.BinaryType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField(
+            "views", T.LongType() if evolved else T.IntegerType()
+        ),
+    ]
+    if evolved:
+        payload.append(T.StructField("author", T.StringType()))
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("payload", T.StructType(payload)),
+            T.StructField("batch_epoch", T.LongType()),
+        ]
+    )
+
+
+evo_event_st = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=5),
+    st.sampled_from(["I", "U", "U", "D"]),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    stream=st.lists(evo_event_st, min_size=4, max_size=20),
+    n_epochs=st.integers(min_value=2, max_value=3),
+    evolve_at=st.integers(min_value=0, max_value=3),
+    merge_mode=st.sampled_from(["mor", "cow"]),
+)
+def test_schema_evolution_matches_model(spark, stream, n_epochs, evolve_at, merge_mode):
+    evolve_at = min(evolve_at, n_epochs)  # n_epochs = never evolves
+    rows = []
+    for seq, (k, ts_step, op) in enumerate(stream):
+        url, ts, epoch = f"u{k}", T0 + timedelta(hours=ts_step), seq % n_epochs
+        evolved = epoch >= evolve_at
+        if op == "D":
+            payload = (None, None, None, None) if evolved else (None, None, None)
+            rows.append(("D", url, ts, seq, payload, epoch))
+        else:
+            html = f"<html><body><p>doc {url} v{seq}</p></body></html>".encode()
+            base = (html, f"l{seq % 3}", seq % 5)
+            payload = base + (f"A{seq % 2}",) if evolved else base
+            rows.append((op, url, ts, seq, payload, epoch))
+
+    tmp = tempfile.mkdtemp(prefix="prop-evo-")
+    try:
+        engine = CDCApplyEngine(
+            spark,
+            table_path=f"{tmp}/table",
+            checkpoint_path=f"{tmp}/ckpt",
+            num_buckets=4,
+            merge_mode=merge_mode,
+            text_extract="expr",
+        )
+        for epoch in range(n_epochs):
+            schema = _evo_schema(epoch >= evolve_at)
+            sl = spark.createDataFrame(
+                [r for r in rows if r[5] == epoch], schema
+            )
+            engine.apply_epoch(sl, epoch)
+
+        # model: LWW winner per key; author only exists on post-evolution
+        # winners; the registry carries the column once ANY evolved epoch
+        # merged (even an empty one — the schema rides the DataFrame)
+        winners: dict[str, tuple] = {}
+        for op, url, ts, seq, payload, epoch in rows:
+            cur = winners.get(url)
+            if cur is None or (ts, seq) > (cur[2], cur[3]):
+                winners[url] = (op, url, ts, seq, payload, epoch)
+        has_author = evolve_at < n_epochs
+        expected = set()
+        for op, url, ts, seq, payload, epoch in winners.values():
+            if op == "D":
+                continue
+            html, lang, views = payload[0], payload[1], payload[2]
+            text = html.decode().split("<p>", 1)[1].split("</p>", 1)[0]
+            row = (url, ts, seq, html, lang, views, text)
+            if has_author:
+                row += (payload[3] if epoch >= evolve_at else None,)
+            expected.add(row)
+
+        final = engine.read_final()
+        cols = ["url", "warc_ts", "seq", "html", "lang", "views", "text"]
+        if has_author:
+            cols.append("author")
+            assert "author" in final.columns
+        else:
+            assert final is None or "author" not in final.columns
+        got = (
+            set()
+            if final is None
+            else {
+                tuple(
+                    bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                    for v in (r[c] for c in cols)
+                )
+                for r in final.select(*cols).collect()
+            }
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
