@@ -69,6 +69,10 @@ config_st = st.fixed_dictionaries(
         "use_pandas_lww": st.booleans(),
         "num_buckets": st.sampled_from([1, 4]),
         "text_extract": st.sampled_from(["arrow", "expr"]),
+        # compact_every=1 folds deltas after nearly every epoch — MAINTENANCE
+        # MUST BE INVISIBLE: the model never sees compaction, so any drift it
+        # introduces fails the final-state comparison
+        "compact_every": st.sampled_from([None, 1]),
     }
 )
 
@@ -129,8 +133,9 @@ def _model_final(rows):
     n_epochs=st.integers(min_value=1, max_value=3),
     cfg=config_st,
     crash=st.booleans(),
+    rebucket_to=st.sampled_from([None, 2, 8]),
 )
-def test_engine_matches_lww_model(spark, stream, n_epochs, cfg, crash):
+def test_engine_matches_lww_model(spark, stream, n_epochs, cfg, crash, rebucket_to):
     rows = _rows(stream, n_epochs)
     events = spark.createDataFrame(rows, EVENT_SCHEMA)
     tmp = tempfile.mkdtemp(prefix="prop-model-")
@@ -149,6 +154,10 @@ def test_engine_matches_lww_model(spark, stream, n_epochs, cfg, crash):
                 with pytest.raises(RuntimeError, match="injected crash"):
                     engine.apply_epoch(sl, 0, crash_after_commit=True)
             engine.apply_epoch(sl, epoch)
+            if rebucket_to is not None and epoch == 0:
+                # resize the table mid-replay — another maintenance op the
+                # model never sees; later epochs write under the new count
+                engine.lake.rebucket(spark, rebucket_to)
 
         n_malformed = sum(
             1 for op, url, ts, *_ in rows if op not in ("I", "U", "D") or url is None or ts is None
