@@ -515,3 +515,120 @@ def test_schema_evolution_matches_model(spark, stream, n_epochs, evolve_at, merg
         assert got == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Time-travel + CDF property: read_asof at every epoch equals the model's
+# prefix state; read_changes between epoch pairs equals the model diff.
+# --------------------------------------------------------------------------
+
+
+def _prefix_state(rows, upto_epoch):
+    """Model live state after replaying epochs <= upto_epoch."""
+    winners: dict[str, tuple] = {}
+    for op, url, ts, seq, payload, epoch in rows:
+        if epoch > upto_epoch:
+            continue
+        cur = winners.get(url)
+        if cur is None or (ts, seq) > (cur[2], cur[3]):
+            winners[url] = (op, url, ts, seq, payload)
+    out = {}
+    for op, url, ts, seq, (html, lang) in winners.values():
+        if op == "D":
+            continue
+        text = html.decode().split("<p>", 1)[1].split("</p>", 1)[0]
+        out[url] = (ts, seq, html, lang, text)
+    return out
+
+
+def _model_cdf(rows, from_epoch, to_epoch):
+    """Expected read_changes rows: state diff old→new, updates emitting
+    both images."""
+    old = {} if from_epoch is None else _prefix_state(rows, from_epoch)
+    new = _prefix_state(rows, to_epoch)
+    out = set()
+    for url in old.keys() | new.keys():
+        o, n = old.get(url), new.get(url)
+        if o is None:
+            out.add((url, *n, "insert"))
+        elif n is None:
+            out.add((url, *o, "delete"))
+        elif o != n:
+            out.add((url, *o, "update_preimage"))
+            out.add((url, *n, "update_postimage"))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    stream=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["I", "U", "U", "D"]),
+        ),
+        min_size=4,
+        max_size=20,
+    ),
+    n_epochs=st.integers(min_value=2, max_value=3),
+    merge_mode=st.sampled_from(["mor", "cow"]),
+)
+def test_time_travel_and_cdf_match_model(spark, stream, n_epochs, merge_mode):
+    rows = []
+    for seq, (k, ts_step, op) in enumerate(stream):
+        url, ts, epoch = f"u{k}", T0 + timedelta(hours=ts_step), seq % n_epochs
+        if op == "D":
+            rows.append(("D", url, ts, seq, (None, None), epoch))
+        else:
+            html = f"<html><body><p>doc {url} v{seq}</p></body></html>".encode()
+            rows.append((op, url, ts, seq, (html, f"l{seq % 3}"), epoch))
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    tmp = tempfile.mkdtemp(prefix="prop-cdf-")
+    try:
+        engine = CDCApplyEngine(
+            spark,
+            table_path=f"{tmp}/table",
+            checkpoint_path=f"{tmp}/ckpt",
+            num_buckets=4,
+            merge_mode=merge_mode,
+            text_extract="expr",
+        )
+        for epoch in range(n_epochs):
+            engine.apply_epoch(events.where(f"batch_epoch = {epoch}"), epoch)
+
+        cols = ["url", "warc_ts", "seq", "html", "lang", "text"]
+
+        def norm(df):
+            return {
+                tuple(
+                    bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                    for v in (r[c] for c in df.columns)
+                )
+                for r in df.collect()
+            }
+
+        # time travel: every epoch's as-of state equals the model prefix
+        for e in range(n_epochs):
+            asof = engine.read_asof(e)
+            assert asof is not None
+            got = norm(asof.select(*cols))
+            expected = {
+                (url, *vals) for url, vals in _prefix_state(rows, e).items()
+            }
+            assert got == expected, f"as-of epoch {e} diverged"
+
+        # CDF: empty range, from-genesis, and an interior range
+        last = n_epochs - 1
+        for frm in (None, 0, last):
+            cdf = engine.read_changes(frm, last)
+            assert cdf is not None
+            got = norm(cdf.select(*cols, "_change_type"))
+            assert got == _model_cdf(rows, frm, last), f"CDF {frm}->{last} diverged"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
