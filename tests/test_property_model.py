@@ -632,3 +632,104 @@ def test_time_travel_and_cdf_match_model(spark, stream, n_epochs, merge_mode):
             assert got == _model_cdf(rows, frm, last), f"CDF {frm}->{last} diverged"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Debezium round-trip property: render envelopes as the JSON Debezium
+# publishes, parse with parse_debezium, compare field-for-field — ops,
+# before/after key fallback, base64 binary, millis timestamps, and the
+# exact floor-div epoch assignment at LSNs far beyond 2^53.
+# --------------------------------------------------------------------------
+
+import json  # noqa: E402
+
+from data_migration_validation_spark.sources.debezium import parse_debezium  # noqa: E402
+
+dbz_event_st = st.tuples(
+    st.sampled_from(["c", "u", "r", "d", "x"]),  # x = unmapped op
+    st.integers(min_value=0, max_value=3),  # key idx
+    st.integers(min_value=-(2**45), max_value=2**45),  # ts_ms
+    st.integers(min_value=-(2**62), max_value=2**62),  # lsn beyond 2^53
+    st.one_of(st.none(), st.sampled_from(["en", "de"])),  # lang
+    st.one_of(st.none(), st.binary(max_size=4)),  # html bytes
+    st.booleans(),  # include a before image
+)
+
+
+def _dbz_json(op, key, ts_ms, lsn, lang, html, with_before):
+    image = {
+        "url": key,
+        "lang": lang,
+        "html_b64": base64.b64encode(html).decode() if html is not None else None,
+    }
+    return json.dumps(
+        {
+            "payload": {
+                "before": image if (with_before or op == "d") else None,
+                "after": None if op == "d" else image,
+                "source": {"ts_ms": ts_ms, "lsn": lsn, "table": "pages"},
+                "op": op,
+                "ts_ms": ts_ms,
+            }
+        }
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(dbz_event_st, min_size=1, max_size=10),
+    epoch_size=st.sampled_from([1, 3, 1000]),
+    garbage=st.booleans(),
+)
+def test_debezium_parse_round_trip(spark, events, epoch_size, garbage):
+    events = [(op, f"u{k}", ts, lsn, lang, html, wb) for op, k, ts, lsn, lang, html, wb in events]
+    values = [(_dbz_json(*e),) for e in events]
+    if garbage:
+        values.append(("{not json",))  # poison pill: must parse to nulls
+    df = spark.createDataFrame(values, "value string")
+    parsed = parse_debezium(
+        df,
+        fields="lang STRING, html_b64 STRING",
+        events_per_epoch=epoch_size,
+    )
+    from pyspark.sql import functions as F
+
+    got = [
+        (
+            r["op"],
+            r["url"],
+            r["ts_ms"],
+            r["seq"],
+            r["lang"],
+            bytes(r["html"]) if r["html"] is not None else None,
+            r["batch_epoch"],
+        )
+        for r in parsed.select(
+            "op",
+            "url",
+            F.unix_millis("warc_ts").alias("ts_ms"),
+            "seq",
+            "payload.lang",
+            "payload.html",
+            "batch_epoch",
+        ).collect()
+    ]
+
+    op_map = {"c": "I", "r": "I", "u": "U", "d": "D"}
+    expected = []
+    for op, key, ts_ms, lsn, lang, html, _wb in events:
+        mapped = op_map.get(op)
+        # delete envelopes carry a null payload struct; unmapped ops fall
+        # through to the after-image (the engine quarantines them on op)
+        p_lang, p_html = (None, None) if op == "d" else (lang, html)
+        expected.append((mapped, key, ts_ms, lsn, p_lang, p_html, lsn // epoch_size))
+    if garbage:
+        expected.append((None, None, None, None, None, None, None))
+
+    # order-insensitive: compare as multisets
+    assert sorted(got, key=repr) == sorted(expected, key=repr)
