@@ -159,11 +159,23 @@ def test_engine_matches_lww_model(spark, stream, n_epochs, cfg, crash, rebucket_
                 # model never sees; later epochs write under the new count
                 engine.lake.rebucket(spark, rebucket_to)
 
-        n_malformed = sum(
-            1 for op, url, ts, *_ in rows if op not in ("I", "U", "D") or url is None or ts is None
-        )
+        # dead-letter content, not just count: each malformed event lands
+        # exactly once with its generation-order reason
+        expected_q = set()
+        for op, url, ts, seq, *_ in rows:
+            if url is None:
+                expected_q.add((seq, "null_key"))
+            elif ts is None:
+                expected_q.add((seq, "null_warc_ts"))
+            elif op not in ("I", "U", "D"):
+                expected_q.add((seq, "bad_op"))
         q = engine.read_quarantine()
-        assert (0 if q is None else q.count()) == n_malformed
+        got_q = (
+            set()
+            if q is None
+            else {(r["seq"], r["_reason"]) for r in q.select("seq", "_reason").collect()}
+        )
+        assert got_q == expected_q
 
         final = engine.read_final()
         got = (
