@@ -745,3 +745,96 @@ def test_debezium_parse_round_trip(spark, events, epoch_size, garbage):
 
     # order-insensitive: compare as multisets
     assert sorted(got, key=repr) == sorted(expected, key=repr)
+
+
+# --------------------------------------------------------------------------
+# Two-replayer interleaving property: two engines replay the SAME log into
+# the SAME table under an arbitrary deterministic interleaving — every
+# epoch commits exactly once, and the converged state equals the model.
+# (tests/test_concurrency.py covers the true-thread race; this sweeps the
+# schedule space deterministically.)
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    stream=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["I", "U", "U", "D"]),
+        ),
+        min_size=4,
+        max_size=16,
+    ),
+    n_epochs=st.integers(min_value=1, max_value=3),
+    schedule=st.lists(st.sampled_from([0, 1]), min_size=0, max_size=8),
+)
+def test_two_replayers_interleaved_converge(spark, stream, n_epochs, schedule):
+    rows = []
+    for seq, (k, ts_step, op) in enumerate(stream):
+        url, ts, epoch = f"u{k}", T0 + timedelta(hours=ts_step), seq % n_epochs
+        if op == "D":
+            rows.append(("D", url, ts, seq, (None, None), epoch))
+        else:
+            html = f"<html><body><p>doc {url} v{seq}</p></body></html>".encode()
+            rows.append((op, url, ts, seq, (html, f"l{seq % 3}"), epoch))
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    tmp = tempfile.mkdtemp(prefix="prop-twor-")
+    try:
+        engines = [
+            CDCApplyEngine(
+                spark,
+                table_path=f"{tmp}/table",
+                checkpoint_path=f"{tmp}/ckpt-{i}",
+                num_buckets=4,
+                text_extract="expr",
+            )
+            for i in (0, 1)
+        ]
+        # each replayer applies epochs in order; the drawn schedule decides
+        # who moves next (exhausted draws round-robin the rest)
+        cursors = [0, 0]
+        committed_by: dict[int, list[int]] = {e: [] for e in range(n_epochs)}
+        turn = list(schedule) + [0, 1] * n_epochs
+        for who in turn:
+            e = cursors[who]
+            if e >= n_epochs:
+                who = 1 - who
+                e = cursors[who]
+                if e >= n_epochs:
+                    break
+            st_ = engines[who].apply_epoch(events.where(f"batch_epoch = {e}"), e)
+            if not st_.skipped:
+                committed_by[e].append(who)
+            cursors[who] += 1
+
+        assert all(cursors[i] >= n_epochs for i in (0, 1))
+        # exactly-once: each epoch committed by exactly one replayer
+        assert all(len(v) == 1 for v in committed_by.values()), committed_by
+
+        expected = {
+            (url, *vals) for url, vals in _prefix_state(rows, n_epochs - 1).items()
+        }
+        for eng in engines:
+            final = eng.read_final()
+            got = (
+                set()
+                if final is None
+                else {
+                    tuple(
+                        bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                        for v in (r[c] for c in ("url", "warc_ts", "seq", "html", "lang", "text"))
+                    )
+                    for r in final.select("url", "warc_ts", "seq", "html", "lang", "text").collect()
+                }
+            )
+            assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
