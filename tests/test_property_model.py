@@ -838,3 +838,89 @@ def test_two_replayers_interleaved_converge(spark, stream, n_epochs, schedule):
             assert got == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Tombstone-GC property: after a GC at horizon H between two epochs,
+# later events at or before H are refused (no resurrection), later events
+# after H apply normally — final state equals the model with that
+# admission rule.
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    stream=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["I", "U", "D", "D"]),  # delete-heavy: GC's food
+        ),
+        min_size=4,
+        max_size=20,
+    ),
+    n_epochs=st.integers(min_value=2, max_value=3),
+    gc_after=st.integers(min_value=1, max_value=2),
+    horizon_h=st.integers(min_value=0, max_value=5),
+)
+def test_gc_horizon_matches_admission_model(spark, stream, n_epochs, gc_after, horizon_h):
+    gc_after = min(gc_after, n_epochs - 1)  # GC runs after epoch gc_after-1
+    horizon = T0 + timedelta(hours=horizon_h)
+    rows = []
+    for seq, (k, ts_step, op) in enumerate(stream):
+        url, ts, epoch = f"u{k}", T0 + timedelta(hours=ts_step), seq % n_epochs
+        if op == "D":
+            rows.append(("D", url, ts, seq, (None, None), epoch))
+        else:
+            html = f"<html><body><p>doc {url} v{seq}</p></body></html>".encode()
+            rows.append((op, url, ts, seq, (html, f"l{seq % 3}"), epoch))
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    tmp = tempfile.mkdtemp(prefix="prop-gc-")
+    try:
+        engine = CDCApplyEngine(
+            spark,
+            table_path=f"{tmp}/table",
+            checkpoint_path=f"{tmp}/ckpt",
+            num_buckets=4,
+            text_extract="expr",
+        )
+        for epoch in range(n_epochs):
+            engine.apply_epoch(events.where(f"batch_epoch = {epoch}"), epoch)
+            if epoch == gc_after - 1:
+                engine.lake.compact(
+                    spark, gc_horizon_ts=horizon.strftime("%Y-%m-%d %H:%M:%S")
+                )
+                assert engine.lake.gc_horizon() is not None
+
+        # model: pre-GC epochs admit everything; post-GC epochs admit only
+        # events strictly after the horizon (at-or-before could resurrect
+        # a GC'd deleted key, so the engine contractually refuses them)
+        admitted = [
+            r
+            for r in rows
+            if r[5] < gc_after or r[2] > horizon
+        ]
+        expected = {
+            (url, *vals) for url, vals in _prefix_state(admitted, n_epochs - 1).items()
+        }
+        final = engine.read_final()
+        got = (
+            set()
+            if final is None
+            else {
+                tuple(
+                    bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                    for v in (r[c] for c in ("url", "warc_ts", "seq", "html", "lang", "text"))
+                )
+                for r in final.select("url", "warc_ts", "seq", "html", "lang", "text").collect()
+            }
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
