@@ -924,3 +924,112 @@ def test_gc_horizon_matches_admission_model(spark, stream, n_epochs, gc_after, h
         assert got == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Write-audit-publish property: a rule audit (classic AND inline modes)
+# rejects exactly the epochs the model says it should; the replay stops
+# at the first rejection and the table holds exactly the published prefix.
+# --------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_migration_validation_spark.operators.audit import standard_audit  # noqa: E402
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    stream=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["I", "U", "U", "D"]),
+        ),
+        min_size=4,
+        max_size=20,
+    ),
+    n_epochs=st.integers(min_value=1, max_value=3),
+    inline=st.booleans(),
+)
+def test_wap_gate_matches_model(spark, stream, n_epochs, inline):
+    # lang cycles l0/l1/l2; the audit only accepts l0/l1, so violations
+    # arrive naturally with the draw (seq % 3 == 2 upsert winners)
+    rows = []
+    for seq, (k, ts_step, op) in enumerate(stream):
+        url, ts, epoch = f"u{k}", T0 + timedelta(hours=ts_step), seq % n_epochs
+        if op == "D":
+            rows.append(("D", url, ts, seq, (None, None), epoch))
+        else:
+            html = f"<html><body><p>doc {url} v{seq}</p></body></html>".encode()
+            rows.append((op, url, ts, seq, (html, f"l{seq % 3}"), epoch))
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    # model: per-epoch LWW winners; live winners with lang=l2 violate;
+    # the first violating epoch is rejected and stops the replay
+    rejected_at, violations, published_rows = None, 0, []
+    for epoch in range(n_epochs):
+        winners: dict[str, tuple] = {}
+        for r in rows:
+            if r[5] != epoch:
+                continue
+            cur = winners.get(r[1])
+            if cur is None or (r[2], r[3]) > (cur[2], cur[3]):
+                winners[r[1]] = r
+        bad = sum(
+            1 for w in winners.values() if w[0] != "D" and w[4][1] == "l2"
+        )
+        if bad:
+            rejected_at, violations = epoch, bad
+            break
+        published_rows.extend(r for r in rows if r[5] == epoch)
+
+    tmp = tempfile.mkdtemp(prefix="prop-wap-")
+    try:
+        engine = CDCApplyEngine(
+            spark,
+            table_path=f"{tmp}/table",
+            checkpoint_path=f"{tmp}/ckpt",
+            num_buckets=4,
+            text_extract="expr",
+        )
+        audit = standard_audit(
+            rules=[("lang_known", F.col("lang").isin("l0", "l1"))],
+            inline=inline,
+        )
+        slices = {
+            e: events.where(f"batch_epoch = {e}") for e in range(n_epochs)
+        }
+        stats = engine.replay(slices, audit=audit)
+
+        if rejected_at is None:
+            assert all(not s.rejected for s in stats) and len(stats) == n_epochs
+        else:
+            assert len(stats) == rejected_at + 1
+            last = stats[-1]
+            assert last.rejected
+            assert last.audit_violations == {"lang_known": violations}
+
+        expected = {
+            (url, *vals)
+            for url, vals in _prefix_state(published_rows, n_epochs).items()
+        }
+        final = engine.read_final()
+        got = (
+            set()
+            if final is None
+            else {
+                tuple(
+                    bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                    for v in (r[c] for c in ("url", "warc_ts", "seq", "html", "lang", "text"))
+                )
+                for r in final.select("url", "warc_ts", "seq", "html", "lang", "text").collect()
+            }
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
