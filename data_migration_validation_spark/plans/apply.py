@@ -38,8 +38,10 @@ lineage aggregates, and file-footer stats.
 
 from __future__ import annotations
 
+import json
 import os
 import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -808,18 +810,186 @@ class CDCApplyEngine:
             df = df.where(~F.col("deleted")).drop("deleted")
         return df
 
-    def read_quarantine(self) -> DataFrame | None:
+    def read_quarantine(self, pending_only: bool = False) -> DataFrame | None:
         """Dead-letter table: every quarantined event across all epochs,
         with its rejection ``_reason`` and an ``epoch`` partition column.
         Epoch directories may carry different payload schemas (the
         envelope evolves mid-stream) — merged on read. None if no event
-        was ever quarantined."""
+        was ever quarantined.
+
+        ``pending_only=True`` hides epochs already re-admitted by
+        :meth:`redrive_quarantine` (their directories carry a
+        ``_REDRIVEN`` marker) — the operational "what still needs a fix"
+        view. Redriven partitions are never deleted: the dead-letter
+        table stays append-only lineage."""
         if not os.path.isdir(self.quarantine_dir):
             return None
+        dirs = self._quarantine_epoch_dirs(pending_only=pending_only)
+        if pending_only and not dirs:
+            return None
+        if not pending_only:
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.quarantine_dir)
+            )
         return (
             self.spark.read.option("mergeSchema", "true")
-            .parquet(self.quarantine_dir)
+            .option("basePath", self.quarantine_dir)
+            .parquet(*dirs)
         )
+
+    # -- quarantine redrive (DLQ reprocess) ----------------------------------------
+
+    def _quarantine_epoch_dirs(self, pending_only: bool = True) -> list[str]:
+        """``epoch=K`` directories under the quarantine table, optionally
+        only those without a ``_REDRIVEN`` marker, sorted by epoch."""
+        if not os.path.isdir(self.quarantine_dir):
+            return []
+        out = []
+        for name in os.listdir(self.quarantine_dir):
+            if not name.startswith("epoch="):
+                continue
+            p = os.path.join(self.quarantine_dir, name)
+            if not os.path.isdir(p):
+                continue
+            if pending_only and os.path.exists(os.path.join(p, "_REDRIVEN")):
+                continue
+            out.append(p)
+        return sorted(out, key=lambda p: int(p.rsplit("=", 1)[1]))
+
+    def _redrive_intent_path(self, redrive_epoch: int) -> str:
+        # no '=' in the name: Spark's hidden-file filter exempts names
+        # containing '=' (partition-dir support), so an '='-named intent
+        # would be read as table data and break the full-dir parquet scan
+        return os.path.join(
+            self.quarantine_dir, f"_redrive-intent-{redrive_epoch}.json"
+        )
+
+    def redrive_quarantine(
+        self,
+        redrive_epoch: int,
+        fix=None,
+        source_epochs: list[int] | None = None,
+        audit=None,
+    ) -> ApplyStats:
+        """Re-admit dead-lettered events through the normal exactly-once
+        epoch gate (DLQ redrive — Kafka Connect / Kinesis "reprocess the
+        dead-letter queue" semantics).
+
+        Reads the pending (un-redriven) quarantine partitions — or the
+        explicit ``source_epochs`` — applies the optional ``fix``
+        (a declarative ``DataFrame -> DataFrame`` repair, e.g. mapping a
+        producer's bad op codes back to I/U/D), and feeds the result to
+        :meth:`apply_epoch` as NEW epoch ``redrive_epoch``. Everything
+        downstream is the existing machinery: rows the fix did not cure
+        re-quarantine under ``redrive_epoch`` (nothing is ever lost),
+        LWW ordering by (warc_ts, seq) means a redriven event that is
+        older than the key's current state correctly does NOT win, and
+        the commit is idempotent under crash-replay.
+
+        Crash-safe protocol (the redrive must never mark a source
+        partition redriven unless its rows were part of the committed
+        redrive epoch):
+
+        1. publish an INTENT file naming the exact source epochs
+           (atomic, create-exclusive via ``os.link``; a resume or a
+           racing redriver of the same epoch adopts the existing
+           intent's list — so quarantine partitions that appear AFTER
+           the intent are never silently marked);
+        2. ``apply_epoch(fixed_rows, redrive_epoch)`` — exactly-once;
+           a crash after this commit resumes at step 3 because the
+           intent survives and the epoch skip is not a failure;
+        3. write a ``_REDRIVEN`` marker (idempotent, existence-based;
+           Spark readers ignore ``_``-prefixed files) into each source
+           partition listed by the intent.
+
+        ``fix`` is part of apply_epoch's determinism contract: it is
+        evaluated more than once and must be a pure column-level
+        transform. An audit rejection (``stats.rejected``) leaves the
+        sources unmarked and the intent in place — the retry re-stages.
+
+        Raises if ``redrive_epoch`` was already committed by a normal
+        ingest (the exactly-once skip would silently drop the redriven
+        rows while marking their sources done — data loss)."""
+        intent_path = self._redrive_intent_path(redrive_epoch)
+        if os.path.exists(intent_path):
+            with open(intent_path) as f:
+                epochs = json.load(f)["source_epochs"]
+        else:
+            if redrive_epoch in self.lake.epochs_applied():
+                raise ValueError(
+                    f"redrive_epoch {redrive_epoch} is already committed by a "
+                    f"prior ingest and no redrive intent exists for it — the "
+                    f"exactly-once skip would discard the redriven events; "
+                    f"pick an unused epoch"
+                )
+            if source_epochs is not None:
+                epochs = sorted(int(e) for e in source_epochs)
+            else:
+                epochs = [
+                    int(p.rsplit("=", 1)[1]) for p in self._quarantine_epoch_dirs()
+                ]
+            if not epochs:
+                return ApplyStats(epoch=redrive_epoch, skipped=True)
+            os.makedirs(self.quarantine_dir, exist_ok=True)
+            tmp = intent_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"redrive_epoch": redrive_epoch, "source_epochs": epochs}, f
+                )
+            try:
+                os.link(tmp, intent_path)  # create-exclusive publish
+            except FileExistsError:
+                with open(intent_path) as f:
+                    epochs = json.load(f)["source_epochs"]
+            finally:
+                os.unlink(tmp)
+
+        dirs = [os.path.join(self.quarantine_dir, f"epoch={e}") for e in epochs]
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        if missing:
+            raise FileNotFoundError(
+                f"redrive intent for epoch {redrive_epoch} names quarantine "
+                f"partitions that do not exist: {missing} (the dead-letter "
+                f"table is append-only — was it deleted externally?)"
+            )
+        events = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*dirs)
+            .drop("_reason")
+        )
+        if fix is not None:
+            events = fix(events)
+
+        stats = self.apply_epoch(events, redrive_epoch, audit=audit)
+        if stats.rejected:
+            return stats
+
+        # markers LAST: each names the redrive epoch for lineage, but the
+        # protocol only relies on existence (a torn write still marks)
+        for d in dirs:
+            marker = os.path.join(d, "_REDRIVEN")
+            if not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write(str(redrive_epoch))
+        if not stats.skipped:
+            self.ckpt.append_metrics(
+                [
+                    {
+                        "epoch": redrive_epoch,
+                        "stage": "redrive",
+                        "metric": "redrive_source_epochs",
+                        "value": float(len(epochs)),
+                    },
+                    {
+                        "epoch": redrive_epoch,
+                        "stage": "redrive",
+                        "metric": "redriven_events",
+                        "value": float(stats.events_seen),
+                    },
+                ]
+            )
+        return stats
 
     def read_changes(
         self, from_epoch: int | None, to_epoch: int | None = None

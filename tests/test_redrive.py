@@ -1,0 +1,180 @@
+"""Quarantine redrive (DLQ reprocess): dead-lettered events are fixed and
+re-admitted through the normal exactly-once epoch gate as a NEW epoch.
+The protocol (intent file → apply_epoch → _REDRIVEN markers) must be
+crash-resumable, must never mark a source partition whose rows were not
+part of the committed redrive epoch, must requeue rows the fix did not
+cure, and — because everything funnels through the ordinary LWW merge —
+a redriven event older than the key's current state must not win."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_validation_spark.plans.apply import CDCApplyEngine
+from tests.test_quarantine import _bad_rows
+from tests.test_time_travel import _EPOCHS, _events, _replay
+
+# events whose op gets mangled by the "bad producer" (op -> op||'X'):
+# seq 0 = I a/1 in epoch 0 (key later updated twice — redriving the stale
+# insert must not beat seq 9), seq 4 = D a/2 in epoch 1 (redriving an old
+# delete after the key's newer re-insert must not delete it), seq 7 =
+# I a/2 re-insert in epoch 2.
+_MANGLED = (0, 4, 7)
+
+
+def _corrupt(ev):
+    return ev.withColumn(
+        "op",
+        F.when(
+            F.col("seq").isin(*_MANGLED), F.concat(F.col("op"), F.lit("X"))
+        ).otherwise(F.col("op")),
+    )
+
+
+def _fix(df):
+    # pure column-level repair (determinism contract): strip the mangle
+    return df.withColumn("op", F.regexp_replace("op", "X$", ""))
+
+
+def _engine(spark, tmp_path, name):
+    return CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / f"{name}-t"),
+        checkpoint_path=str(tmp_path / f"{name}-c"),
+        num_buckets=8,
+    )
+
+
+def _replay_corrupted(spark, tmp_path, name):
+    eng = _engine(spark, tmp_path, name)
+    for e in range(4):
+        st = eng.apply_epoch(_corrupt(_events(spark, _EPOCHS[e], e)), e)
+        assert not st.rejected
+    return eng
+
+
+def _final_rows(eng):
+    return sorted(
+        (r["url"], str(r["warc_ts"]), r["seq"], r["text"])
+        for r in eng.read_final().collect()
+    )
+
+
+def test_redrive_restores_clean_state(spark, tmp_path):
+    clean = _replay(spark, tmp_path, "rdclean", [0, 1, 2, 3])
+    eng = _replay_corrupted(spark, tmp_path, "rd")
+
+    pend = eng.read_quarantine(pending_only=True)
+    assert pend.count() == 3
+    assert set(r["epoch"] for r in pend.collect()) == {0, 1, 2}
+
+    st = eng.redrive_quarantine(4, fix=_fix)
+    assert not st.skipped and not st.rejected
+    assert st.events_seen == 3 and st.quarantined == 0
+
+    # the fixed events merged under normal LWW: state == never-corrupted
+    # replay, including the two out-of-order redrives (stale I on a/1,
+    # stale D on a/2 — neither may beat the key's newer state)
+    assert _final_rows(eng) == _final_rows(clean)
+    a1 = [r for r in eng.read_final().collect() if r["url"] == "https://a/1"]
+    assert a1[0]["seq"] == 9
+
+    # dead-letter lineage: partitions marked, never deleted
+    assert eng.read_quarantine(pending_only=True) is None
+    assert eng.read_quarantine().count() == 3
+    for e in (0, 1, 2):
+        marker = os.path.join(eng.quarantine_dir, f"epoch={e}", "_REDRIVEN")
+        assert os.path.exists(marker)
+        assert open(marker).read() == "4"
+
+    m = eng.ckpt.metrics()
+    m = m[m.stage == "redrive"].sort_values("metric")
+    assert list(zip(m.metric, m.value)) == [
+        ("redrive_source_epochs", 3.0),
+        ("redriven_events", 3.0),
+    ]
+
+
+def test_redrive_with_nothing_pending_is_a_noop(spark, tmp_path):
+    eng = _replay(spark, tmp_path, "rdnp", [0, 1])
+    st = eng.redrive_quarantine(9)
+    assert st.skipped
+    assert not os.path.exists(eng._redrive_intent_path(9))
+
+
+def test_redrive_epoch_collision_raises(spark, tmp_path):
+    eng = _replay_corrupted(spark, tmp_path, "rdcol")
+    with pytest.raises(ValueError, match="already committed"):
+        eng.redrive_quarantine(2, fix=_fix)  # epoch 2 was a normal ingest
+    # nothing was marked by the refused call
+    assert eng.read_quarantine(pending_only=True).count() == 3
+
+
+def test_redrive_rerun_is_idempotent(spark, tmp_path):
+    eng = _replay_corrupted(spark, tmp_path, "rdi")
+    st1 = eng.redrive_quarantine(4, fix=_fix)
+    assert not st1.skipped
+    before = _final_rows(eng)
+    st2 = eng.redrive_quarantine(4, fix=_fix)
+    assert st2.skipped  # intent adopted, epoch already committed
+    assert _final_rows(eng) == before
+    # redrive metrics recorded exactly once
+    m = eng.ckpt.metrics()
+    assert len(m[m.metric == "redriven_events"]) == 1
+
+
+def test_redrive_crash_before_markers_resumes_from_intent(spark, tmp_path):
+    """Crash window: intent published, epoch committed, markers not yet
+    written. The resume must adopt the INTENT's source list — including
+    ignoring a quarantine partition that appeared after the intent — and
+    must not re-apply the committed epoch."""
+    eng = _replay_corrupted(spark, tmp_path, "rdcr")
+
+    # step 1: intent (as redrive_quarantine would write it)
+    with open(eng._redrive_intent_path(4), "w") as f:
+        json.dump({"redrive_epoch": 4, "source_epochs": [0, 1, 2]}, f)
+    # step 2: the committed apply
+    dirs = [os.path.join(eng.quarantine_dir, f"epoch={e}") for e in (0, 1, 2)]
+    fixed = _fix(
+        spark.read.option("mergeSchema", "true").parquet(*dirs).drop("_reason")
+    )
+    assert not eng.apply_epoch(fixed, 4).skipped
+    # crash here: no markers. A NEW bad epoch arrives before the resume.
+    st5 = eng.apply_epoch(_bad_rows(spark, 5), 5)
+    assert st5.quarantined == 5
+
+    epochs_before = set(eng.lake.epochs_applied())
+    st = eng.redrive_quarantine(4, fix=_fix)
+    assert st.skipped  # commit already landed; resume only finishes markers
+    assert set(eng.lake.epochs_applied()) == epochs_before
+
+    # intent's sources marked; the post-intent arrival stays pending
+    for e in (0, 1, 2):
+        assert os.path.exists(
+            os.path.join(eng.quarantine_dir, f"epoch={e}", "_REDRIVEN")
+        )
+    pend = eng.read_quarantine(pending_only=True)
+    assert set(r["epoch"] for r in pend.collect()) == {5}
+
+
+def test_partial_fix_requeues_uncured_rows(spark, tmp_path):
+    """A fix that cures only some rows: cured ones apply, the rest
+    re-quarantine under the redrive epoch — never silently dropped."""
+    eng = _engine(spark, tmp_path, "rdpf")
+    ev = _events(spark, _EPOCHS[0], 0).unionByName(_bad_rows(spark, 0))
+    ev = _corrupt(ev)
+    st0 = eng.apply_epoch(ev, 0)
+    assert st0.quarantined == 6  # 5 incurable + 1 mangled op (seq 0)
+
+    st = eng.redrive_quarantine(1, fix=_fix)
+    assert st.events_seen == 1  # the cured mangled-op row
+    assert st.quarantined == 5  # the incurable ones requeued
+    pend = eng.read_quarantine(pending_only=True)
+    assert pend.count() == 5
+    assert set(r["epoch"] for r in pend.collect()) == {1}
+    # and the full dead-letter lineage keeps both generations
+    assert eng.read_quarantine().count() == 11
