@@ -332,6 +332,66 @@ def cmd_quarantine(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_redrive(args: argparse.Namespace) -> int:
+    """Re-admit dead-lettered events through the exactly-once epoch gate
+    (DLQ reprocess). The fix is declarative: repeatable ``--set
+    COL=SQL_EXPR`` column rewrites (pure transforms, per the redrive
+    determinism contract), e.g.::
+
+        main.py redrive --table /tmp/lake --checkpoint /tmp/ckpt \\
+            --epoch 99 --set "op=regexp_replace(op, 'X$', '')"
+
+    Rows the fix does not cure re-quarantine under the new epoch;
+    nothing is ever lost. Exit 0 = committed (or nothing pending),
+    2 = the redrive epoch was audit-rejected."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+
+    spark = _spark("dmv-redrive")
+    engine = CDCApplyEngine(
+        spark,
+        table_path=args.table,
+        checkpoint_path=args.checkpoint or tempfile.mkdtemp(prefix="dmv-redrive-ckpt-"),
+    )
+
+    rewrites = []
+    for item in args.set or []:
+        col, eq, expr = item.partition("=")
+        if not eq or not col.strip():
+            raise SystemExit(f"--set expects COL=SQL_EXPR, got: {item!r}")
+        rewrites.append((col.strip(), expr))
+
+    fix = None
+    if rewrites:
+        def fix(df, _rw=tuple(rewrites)):
+            for col, expr in _rw:
+                df = df.withColumn(col, F.expr(expr))
+            return df
+
+    source = (
+        [int(e) for e in args.source_epochs.split(",")]
+        if args.source_epochs
+        else None
+    )
+    st = engine.redrive_quarantine(args.epoch, fix=fix, source_epochs=source)
+    out = {
+        "command": "redrive",
+        "epoch": st.epoch,
+        "skipped": st.skipped,
+        "redriven_events": st.events_seen,
+        "still_quarantined": st.quarantined,
+        "rows_written": st.rows_written,
+    }
+    if st.rejected:
+        out["rejected"] = True
+        out["audit_violations"] = st.audit_violations
+    print(json.dumps(out))
+    return 2 if st.rejected else 0
+
+
 def cmd_status(args: argparse.Namespace) -> int:
     """Table + checkpoint health in one JSON — DRIVER-SIDE ONLY (manifest,
     checkpoint parquet, file sizes): no SparkSession, no cluster job, so
@@ -749,6 +809,22 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--table", required=True)
     q.add_argument("--out", default="")
     q.set_defaults(fn=cmd_quarantine)
+
+    rd = sub.add_parser(
+        "redrive",
+        help="re-admit dead-lettered events as a new epoch (DLQ reprocess)",
+    )
+    rd.add_argument("--table", required=True)
+    rd.add_argument("--checkpoint", default="")
+    rd.add_argument("--epoch", type=int, required=True,
+                    help="NEW (unused) epoch number for the redriven events")
+    rd.add_argument("--set", action="append", metavar="COL=SQL_EXPR",
+                    help="declarative fix: rewrite COL with a SQL expression "
+                         "(repeatable, applied in order)")
+    rd.add_argument("--source-epochs", default="",
+                    help="comma-separated quarantine epochs to redrive "
+                         "(default: every pending one)")
+    rd.set_defaults(fn=cmd_redrive)
 
     v = sub.add_parser("validate", help="migration validation of OLD/NEW tables")
     v.add_argument("--old", required=True)

@@ -297,3 +297,42 @@ def test_status_cli_is_sparkless(spark, tmp_path, capsys):
     ck = out["checkpoint"]
     assert ck["events_applied"] > 0 and ck["lineage_epochs"] >= 1
     assert out["metrics_totals"]["applied_events"] == ck["events_applied"]
+
+
+def test_redrive_cli(spark, tmp_path, capsys):
+    """redrive CLI: dead-letter a deterministically op-mangled feed, then
+    re-admit it with a declarative --set fix as a new epoch; the final
+    state must equal the never-corrupted replay and the pending
+    quarantine must drain."""
+    from tests.test_redrive import _replay_corrupted, _final_rows
+    from tests.test_time_travel import _replay
+
+    clean = _replay(spark, tmp_path, "clicleanrd", [0, 1, 2, 3])
+    eng = _replay_corrupted(spark, tmp_path, "clird")
+    assert eng.read_quarantine(pending_only=True).count() == 3
+
+    rc = _run(
+        ["redrive", "--table", eng.lake.path, "--checkpoint", eng.ckpt.path,
+         "--epoch", "9", "--set", "op=regexp_replace(op, 'X$', '')"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["redriven_events"] == 3 and out["still_quarantined"] == 0
+    assert not out["skipped"]
+
+    assert eng.read_quarantine(pending_only=True) is None
+    assert _final_rows(eng) == _final_rows(clean)
+
+    # nothing pending → a second redrive is a skip, not an error
+    rc = _run(
+        ["redrive", "--table", eng.lake.path, "--checkpoint", eng.ckpt.path,
+         "--epoch", "10"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["skipped"]
+
+    # malformed --set is a usage error, not a stack trace
+    with pytest.raises(SystemExit):
+        _run(["redrive", "--table", eng.lake.path, "--checkpoint",
+              eng.ckpt.path, "--epoch", "11", "--set", "no-equals-sign"])
