@@ -178,3 +178,34 @@ def test_partial_fix_requeues_uncured_rows(spark, tmp_path):
     assert set(r["epoch"] for r in pend.collect()) == {1}
     # and the full dead-letter lineage keeps both generations
     assert eng.read_quarantine().count() == 11
+
+
+def test_racing_redrivers_with_different_epochs_converge(spark, tmp_path):
+    """Two operators racing to redrive the SAME pending sources under
+    DIFFERENT redrive epochs (neither sees the other's intent yet): both
+    intents name the same sources and both epochs admit the same fixed
+    events. This must converge — the double admission is idempotent
+    under LWW (identical (warc_ts, seq) per key), the final state equals
+    the never-corrupted replay, and no quarantine partition stays
+    pending."""
+    clean = _replay(spark, tmp_path, "rrclean", [0, 1, 2, 3])
+    eng = _replay_corrupted(spark, tmp_path, "rr")
+
+    # interleave: both publish intents over the same pending set before
+    # either applies (the realistic race — intent write is the first step)
+    dirs = eng._quarantine_epoch_dirs()
+    epochs = [int(p.rsplit("=", 1)[1]) for p in dirs]
+    for redrive_epoch in (4, 5):
+        with open(eng._redrive_intent_path(redrive_epoch), "w") as f:
+            json.dump(
+                {"redrive_epoch": redrive_epoch, "source_epochs": epochs}, f
+            )
+
+    st_a = eng.redrive_quarantine(4, fix=_fix)  # adopts intent 4
+    st_b = eng.redrive_quarantine(5, fix=_fix)  # adopts intent 5
+    assert not st_a.skipped and not st_b.skipped
+    assert st_a.events_seen == st_b.events_seen == 3
+    assert st_a.quarantined == st_b.quarantined == 0
+
+    assert _final_rows(eng) == _final_rows(clean)
+    assert eng.read_quarantine(pending_only=True) is None
