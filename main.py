@@ -320,11 +320,22 @@ def cmd_quarantine(args: argparse.Namespace) -> int:
             .csv(args.out)
         )
     reasons = {r["_reason"]: r["count"] for r in df.groupBy("_reason").count().collect()}
+    # pending = epochs not yet re-admitted by a redrive (no _REDRIVEN
+    # marker); the delta vs total is lineage of already-redriven events
+    import tempfile
+
+    eng = CDCApplyEngine(
+        spark,
+        table_path=args.table,
+        checkpoint_path=tempfile.mkdtemp(prefix="dmv-q-ckpt-"),
+    )
+    pend = eng.read_quarantine(pending_only=True)
     print(
         json.dumps(
             {
                 "command": "quarantine",
                 "quarantined": sum(reasons.values()),
+                "pending": 0 if pend is None else pend.count(),
                 "reasons": reasons,
             }
         )
@@ -376,7 +387,14 @@ def cmd_redrive(args: argparse.Namespace) -> int:
         if args.source_epochs
         else None
     )
-    st = engine.redrive_quarantine(args.epoch, fix=fix, source_epochs=source)
+    audit = None
+    if args.audit:
+        from data_migration_validation_spark.operators.audit import page_envelope_audit
+
+        audit = page_envelope_audit(inline=args.audit_inline)
+    st = engine.redrive_quarantine(
+        args.epoch, fix=fix, source_epochs=source, audit=audit
+    )
     out = {
         "command": "redrive",
         "epoch": st.epoch,
@@ -824,6 +842,13 @@ def build_parser() -> argparse.ArgumentParser:
     rd.add_argument("--source-epochs", default="",
                     help="comma-separated quarantine epochs to redrive "
                          "(default: every pending one)")
+    rd.add_argument("--audit", action="store_true",
+                    help="write-audit-publish gate on the redrive epoch: "
+                         "reject (exit 2, sources stay pending) if the "
+                         "fixed events violate the envelope checks")
+    rd.add_argument("--audit-inline", action="store_true",
+                    help="collect the audit during the staging write "
+                         "(zero extra jobs)")
     rd.set_defaults(fn=cmd_redrive)
 
     v = sub.add_parser("validate", help="migration validation of OLD/NEW tables")

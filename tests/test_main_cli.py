@@ -311,17 +311,28 @@ def test_redrive_cli(spark, tmp_path, capsys):
     eng = _replay_corrupted(spark, tmp_path, "clird")
     assert eng.read_quarantine(pending_only=True).count() == 3
 
+    # quarantine summary distinguishes total lineage from pending work
+    assert _run(["quarantine", "--table", eng.lake.path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["quarantined"] == 3 and out["pending"] == 3
+
     rc = _run(
         ["redrive", "--table", eng.lake.path, "--checkpoint", eng.ckpt.path,
-         "--epoch", "9", "--set", "op=regexp_replace(op, 'X$', '')"]
+         "--epoch", "9", "--set", "op=regexp_replace(op, 'X$', '')",
+         "--audit", "--audit-inline"]
     )
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["redriven_events"] == 3 and out["still_quarantined"] == 0
-    assert not out["skipped"]
+    assert not out["skipped"] and "rejected" not in out
 
     assert eng.read_quarantine(pending_only=True) is None
     assert _final_rows(eng) == _final_rows(clean)
+
+    # lineage kept, pending drained
+    assert _run(["quarantine", "--table", eng.lake.path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["quarantined"] == 3 and out["pending"] == 0
 
     # nothing pending → a second redrive is a skip, not an error
     rc = _run(
