@@ -1033,3 +1033,119 @@ def test_wap_gate_matches_model(spark, stream, n_epochs, inline):
         assert got == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Quarantine-redrive property: replay a stream where an arbitrary subset
+# of events is op-mangled by a "bad producer" (op -> op||'X', the classic
+# unmapped-enum feed bug) alongside genuinely incurable null-key events.
+# Mangled events dead-letter; a redrive with the de-mangling fix must
+# restore EXACTLY the clean replay's LWW state (late re-admission never
+# beats newer state, because LWW orders by (warc_ts, seq), not arrival),
+# requeue only the incurables under the redrive epoch, and keep the
+# dead-letter table as append-only lineage.
+# --------------------------------------------------------------------------
+
+# (key index, ts step, op, mangled-by-producer?)
+red_event_st = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=5),
+    st.sampled_from(["I", "U", "U", "D", "null_key"]),
+    st.booleans(),
+)
+
+
+def _red_rows(stream, n_epochs):
+    """Returns (corrupted rows, clean rows): identical streams except the
+    producer mangle; clean rows still carry the incurable null-key events
+    (the model skips them on both sides)."""
+    corrupted, clean = [], []
+    for seq, (k, ts_step, op, mangled) in enumerate(stream):
+        url, ts, epoch = f"u{k}", T0 + timedelta(hours=ts_step), seq % n_epochs
+        if op == "null_key":
+            row = ("I", None, ts, seq, (b"<p>x</p>", "en"), epoch)
+            corrupted.append(row)
+            clean.append(row)
+            continue
+        if op == "D":
+            payload = (None, None)
+        else:
+            body = f"doc {url} v{seq} t{ts_step}"
+            payload = (f"<html><body><p>{body}</p></body></html>".encode(),
+                       f"l{seq % 3}")
+        clean.append((op, url, ts, seq, payload, epoch))
+        corrupted.append((op + "X" if mangled else op, url, ts, seq, payload, epoch))
+    return corrupted, clean
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    stream=st.lists(red_event_st, min_size=4, max_size=20),
+    n_epochs=st.integers(min_value=1, max_value=3),
+)
+def test_redrive_matches_clean_replay_model(spark, stream, n_epochs):
+    corrupted, clean = _red_rows(stream, n_epochs)
+    n_mangled = sum(1 for r in corrupted if r[0].endswith("X"))
+    incurable_seqs = {r[3] for r in corrupted if r[1] is None}
+
+    tmp = tempfile.mkdtemp(prefix="prop-redrive-")
+    try:
+        engine = CDCApplyEngine(
+            spark,
+            table_path=f"{tmp}/table",
+            checkpoint_path=f"{tmp}/ckpt",
+            num_buckets=4,
+        )
+        events = spark.createDataFrame(corrupted, EVENT_SCHEMA)
+        for epoch in range(n_epochs):
+            engine.apply_epoch(events.where(f"batch_epoch = {epoch}"), epoch)
+
+        from pyspark.sql import functions as F
+
+        st_rd = engine.redrive_quarantine(
+            n_epochs,
+            fix=lambda df: df.withColumn("op", F.regexp_replace("op", "X$", "")),
+        )
+        if n_mangled == 0 and not incurable_seqs:
+            assert st_rd.skipped
+        else:
+            assert not st_rd.skipped and not st_rd.rejected
+            assert st_rd.events_seen == n_mangled
+            assert st_rd.quarantined == len(incurable_seqs)
+
+        final = engine.read_final()
+        got = (
+            set()
+            if final is None
+            else {
+                (r["url"], r["warc_ts"], r["seq"], r["lang"], r["text"])
+                for r in final.select("url", "warc_ts", "seq", "lang", "text").collect()
+            }
+        )
+        expect = {
+            (url, ts, seq, lang, text)
+            for (url, ts, seq, html, lang, text) in _model_final(clean)
+        }
+        assert got == expect
+
+        # only the incurables stay pending, requeued under the redrive epoch
+        pend = engine.read_quarantine(pending_only=True)
+        if incurable_seqs:
+            rows = pend.select("seq", "epoch", "_reason").collect()
+            assert {r["seq"] for r in rows} == incurable_seqs
+            assert {r["epoch"] for r in rows} == {n_epochs}
+            assert {r["_reason"] for r in rows} == {"null_key"}
+        else:
+            assert pend is None
+
+        # append-only lineage: one row per mangle + two per incurable
+        q = engine.read_quarantine()
+        total = 0 if q is None else q.count()
+        assert total == n_mangled + 2 * len(incurable_seqs)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
