@@ -15,11 +15,13 @@ measured end-to-end including commits. Scaling-efficiency evidence
 
 Noise protocol: this host's wall clock swings up to 2-3x run-to-run
 (steal bursts — see BENCH.md "host noise"). Every timed unit therefore
-runs REPEATS times (default 2) in interleaved rounds (q1..qN, q1..qN) and
-reports the MIN per unit — a noise burst in one window cannot inflate a
-query's recorded number, and the first round doubles as the JVM/JIT
-warmup for the second. Per-sample values are emitted under "samples" so
-the recorded artifact shows its own spread.
+runs REPEATS times (default 3) in interleaved rounds (q1..qN, q1..qN, …)
+and reports the MIN per unit — a noise burst in one window cannot inflate
+a query's recorded number, and the first round doubles as the JVM/JIT
+warmup for the later ones. Per-sample values are emitted under "samples"
+so the recorded artifact shows its own spread. (Default was 2 through
+round 4; observed same-day 2x swings with an idle repo made a third
+sample worth its ~30-60 s.)
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 # CDC bench scale: ~4 versions/key → ~n_keys*2.5 events (variable version
 # count) + redeliveries. 60k keys ≈ 150k events at sf0.1.
