@@ -171,3 +171,87 @@ def test_two_replayers_of_one_log_converge(spark, tmp_path, store_kind):
     expected = expected_final_state(spark, CFG, log=log).select("url", "warc_ts", "seq")
     assert final.exceptAll(expected).count() == 0
     assert expected.exceptAll(final).count() == 0
+
+
+@pytest.mark.parametrize("store_kind", ["posix", "condput"])
+def test_redrive_races_ingest_without_losing_events(spark, tmp_path, store_kind):
+    """A redrive loop races the ingest replay of an op-mangled log (the
+    operational shape: an operator drains the DLQ while the backfill is
+    still running). Safety relied on: quarantine partitions appear only
+    via atomic rename (never partial), redrive intents name exactly the
+    partitions read, and redrive commits go through the same CAS gate as
+    ingest. After a final drain, the table must equal the never-corrupted
+    oracle and nothing may stay pending."""
+    table = str(tmp_path / "rdrace-t")
+    log_path = str(tmp_path / "rdrace-log")
+    synth_binlog(spark, CFG).write.partitionBy("batch_epoch").parquet(log_path)
+    log = spark.read.parquet(log_path)
+    corrupted = log.withColumn(
+        "op",
+        F.when(F.col("seq") % 13 == 4, F.concat(F.col("op"), F.lit("X"))).otherwise(
+            F.col("op")
+        ),
+    )
+    demangle = lambda df: df.withColumn("op", F.regexp_replace("op", "X$", ""))  # noqa: E731
+
+    done = threading.Event()
+
+    def ingest(errs: list):
+        try:
+            eng = CDCApplyEngine(
+                spark,
+                table_path=table,
+                checkpoint_path=str(tmp_path / "ck-ingest"),
+                num_buckets=4,
+                store=_store(store_kind, table),
+            )
+            for epoch in range(CFG.n_epochs):
+                eng.apply_epoch(epoch_slice(corrupted, CFG, epoch), epoch)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+        finally:
+            done.set()
+
+    def redrive_loop(errs: list):
+        try:
+            eng = CDCApplyEngine(
+                spark,
+                table_path=table,
+                checkpoint_path=str(tmp_path / "ck-redrive"),
+                num_buckets=4,
+                store=_store(store_kind, table),
+            )
+            i = 0
+            while not done.is_set():
+                eng.redrive_quarantine(1000 + i, fix=demangle)
+                i += 1
+                time.sleep(0.05)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    errs: list[BaseException] = []
+    ta = threading.Thread(target=ingest, args=(errs,))
+    tb = threading.Thread(target=redrive_loop, args=(errs,))
+    ta.start(), tb.start()
+    ta.join(timeout=240), tb.join(timeout=240)
+    assert not errs, f"racer failed: {errs[:1]}"
+
+    # final drain: anything quarantined after the loop's last intent
+    checker = CDCApplyEngine(
+        spark,
+        table_path=table,
+        checkpoint_path=str(tmp_path / "ck-drain"),
+        num_buckets=4,
+        store=_store(store_kind, table),
+    )
+    st = checker.redrive_quarantine(2000, fix=demangle)
+    assert st.quarantined == 0  # the fix cures every mangle
+    assert checker.read_quarantine(pending_only=True) is None
+
+    lake = LakeTable(table, store=_store(store_kind, table))
+    assert _chain_is_consistent(lake)
+
+    final = checker.read_final().select("url", "warc_ts", "seq")
+    expected = expected_final_state(spark, CFG, log=log).select("url", "warc_ts", "seq")
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
