@@ -857,6 +857,18 @@ class CDCApplyEngine:
             out.append(p)
         return sorted(out, key=lambda p: int(p.rsplit("=", 1)[1]))
 
+    def redrive_intent(self, redrive_epoch: int) -> list[int] | None:
+        """The source-epoch list a redrive of ``redrive_epoch`` is (or
+        was) bound to, if an intent was ever published — intents persist
+        as lineage, so this answers "which quarantine partitions did
+        redrive epoch N actually cover" after the fact. None if no
+        redrive of that epoch was ever started."""
+        p = self._redrive_intent_path(redrive_epoch)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return [int(e) for e in json.load(f)["source_epochs"]]
+
     def _redrive_intent_path(self, redrive_epoch: int) -> str:
         # no '=' in the name: Spark's hidden-file filter exempts names
         # containing '=' (partition-dir support), so an '='-named intent

@@ -303,12 +303,14 @@ def cmd_quarantine(args: argparse.Namespace) -> int:
     """Dead-letter table: counts per rejection reason (and optional CSV)."""
     import os
 
-    from data_migration_validation_spark.plans.apply import CDCApplyEngine
-
     spark = _spark("dmv-quarantine")
     qdir = os.path.join(args.table, "_quarantine")
     if not os.path.isdir(qdir):
-        print(json.dumps({"command": "quarantine", "quarantined": 0, "reasons": {}}))
+        print(
+            json.dumps(
+                {"command": "quarantine", "quarantined": 0, "pending": 0, "reasons": {}}
+            )
+        )
         return 0
     df = spark.read.option("mergeSchema", "true").parquet(qdir)
     if args.out:
@@ -319,23 +321,36 @@ def cmd_quarantine(args: argparse.Namespace) -> int:
             .option("header", True)
             .csv(args.out)
         )
-    reasons = {r["_reason"]: r["count"] for r in df.groupBy("_reason").count().collect()}
-    # pending = epochs not yet re-admitted by a redrive (no _REDRIVEN
-    # marker); the delta vs total is lineage of already-redriven events
-    import tempfile
+    from pyspark.sql import functions as F
 
-    eng = CDCApplyEngine(
-        spark,
-        table_path=args.table,
-        checkpoint_path=tempfile.mkdtemp(prefix="dmv-q-ckpt-"),
+    # pending = events in epochs not yet re-admitted by a redrive (no
+    # _REDRIVEN marker); the delta vs total is already-redriven lineage.
+    # Marker listing is driver-side; the counts fold into the one scan.
+    pending_epochs = [
+        int(name.split("=", 1)[1])
+        for name in os.listdir(qdir)
+        if name.startswith("epoch=")
+        and os.path.isdir(os.path.join(qdir, name))
+        and not os.path.exists(os.path.join(qdir, name, "_REDRIVEN"))
+    ]
+    is_pending = (
+        F.col("epoch").isin(pending_epochs) if pending_epochs else F.lit(False)
     )
-    pend = eng.read_quarantine(pending_only=True)
+    rows = (
+        df.groupBy("_reason")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum(is_pending.cast("long")).alias("pending"),
+        )
+        .collect()
+    )
+    reasons = {r["_reason"]: r["count"] for r in rows}
     print(
         json.dumps(
             {
                 "command": "quarantine",
                 "quarantined": sum(reasons.values()),
-                "pending": 0 if pend is None else pend.count(),
+                "pending": int(sum(r["pending"] for r in rows)),
                 "reasons": reasons,
             }
         )
@@ -371,7 +386,7 @@ def cmd_redrive(args: argparse.Namespace) -> int:
     rewrites = []
     for item in args.set or []:
         col, eq, expr = item.partition("=")
-        if not eq or not col.strip():
+        if not eq or not col.strip() or not expr.strip():
             raise SystemExit(f"--set expects COL=SQL_EXPR, got: {item!r}")
         rewrites.append((col.strip(), expr))
 
@@ -395,14 +410,21 @@ def cmd_redrive(args: argparse.Namespace) -> int:
     st = engine.redrive_quarantine(
         args.epoch, fix=fix, source_epochs=source, audit=audit
     )
+    # which quarantine partitions this redrive was actually bound to —
+    # a pre-existing intent (crash resume / racing redriver) overrides
+    # --source-epochs, and the operator must see that, not assume it
+    adopted = engine.redrive_intent(args.epoch)
     out = {
         "command": "redrive",
         "epoch": st.epoch,
         "skipped": st.skipped,
+        "source_epochs": adopted,
         "redriven_events": st.events_seen,
         "still_quarantined": st.quarantined,
         "rows_written": st.rows_written,
     }
+    if source is not None and adopted is not None and sorted(source) != adopted:
+        out["source_epochs_overridden_by_intent"] = True
     if st.rejected:
         out["rejected"] = True
         out["audit_violations"] = st.audit_violations

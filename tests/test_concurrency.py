@@ -112,6 +112,7 @@ def test_compaction_races_ingest_without_losing_commits(spark, tmp_path, store_k
     finally:
         done.set()
         t.join(timeout=120)
+    assert not t.is_alive(), "compaction thread still running after join timeout"
     assert not errors, f"compaction thread failed: {errors[:1]}"
 
     assert eng.lake.epochs_applied() == set(range(CFG.n_epochs))
@@ -154,6 +155,7 @@ def test_two_replayers_of_one_log_converge(spark, tmp_path, store_kind):
         t.start()
     for t in threads:
         t.join(timeout=240)
+    assert not any(t.is_alive() for t in threads), "replayer still running after join timeout"
     assert not errs, f"replayer failed: {errs[:1]}"
 
     lake = LakeTable(table, store=_store(store_kind, table))
@@ -192,7 +194,7 @@ def test_redrive_races_ingest_without_losing_events(spark, tmp_path, store_kind)
             F.col("op")
         ),
     )
-    demangle = lambda df: df.withColumn("op", F.regexp_replace("op", "X$", ""))  # noqa: E731
+    from tests.test_redrive import _fix as demangle  # the shared de-mangler
 
     done = threading.Event()
 
@@ -234,6 +236,7 @@ def test_redrive_races_ingest_without_losing_events(spark, tmp_path, store_kind)
     tb = threading.Thread(target=redrive_loop, args=(errs,))
     ta.start(), tb.start()
     ta.join(timeout=240), tb.join(timeout=240)
+    assert not ta.is_alive() and not tb.is_alive(), "racer still running after join timeout"
     assert not errs, f"racer failed: {errs[:1]}"
 
     # final drain: anything quarantined after the loop's last intent

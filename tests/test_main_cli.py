@@ -325,6 +325,7 @@ def test_redrive_cli(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["redriven_events"] == 3 and out["still_quarantined"] == 0
     assert not out["skipped"] and "rejected" not in out
+    assert out["source_epochs"] == [0, 1, 2]  # which partitions it covered
 
     assert eng.read_quarantine(pending_only=True) is None
     assert _final_rows(eng) == _final_rows(clean)
@@ -343,7 +344,28 @@ def test_redrive_cli(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["skipped"]
 
-    # malformed --set is a usage error, not a stack trace
-    with pytest.raises(SystemExit):
-        _run(["redrive", "--table", eng.lake.path, "--checkpoint",
-              eng.ckpt.path, "--epoch", "11", "--set", "no-equals-sign"])
+    # malformed --set is a usage error, not a stack trace — and it must
+    # fail BEFORE any intent is published
+    for bad in ("no-equals-sign", "op=", "=expr"):
+        with pytest.raises(SystemExit):
+            _run(["redrive", "--table", eng.lake.path, "--checkpoint",
+                  eng.ckpt.path, "--epoch", "11", "--set", bad])
+    assert eng.redrive_intent(11) is None
+
+    # a pre-existing intent overrides --source-epochs, and the output
+    # says so instead of letting the operator assume their list ran
+    eng2 = _replay_corrupted(spark, tmp_path, "clird2")
+    with open(eng2._redrive_intent_path(20), "w") as f:
+        json.dump({"redrive_epoch": 20, "source_epochs": [0, 1]}, f)
+    rc = _run(
+        ["redrive", "--table", eng2.lake.path, "--checkpoint", eng2.ckpt.path,
+         "--epoch", "20", "--set", "op=regexp_replace(op, 'X$', '')",
+         "--source-epochs", "2"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["source_epochs"] == [0, 1]
+    assert out["source_epochs_overridden_by_intent"] is True
+    # epoch 2's quarantine is still pending — the intent never named it
+    pend = eng2.read_quarantine(pending_only=True)
+    assert set(r["epoch"] for r in pend.collect()) == {2}
