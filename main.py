@@ -12,7 +12,19 @@ detects whether spark-submit already provided one).
 Commands
 --------
 generate   synthesize a deterministic binlog/WAL to parquet
-apply      replay a binlog into a lake table (epoch commits, resume-safe)
+apply      replay a binlog into a lake table (epoch commits, resume-safe;
+           --audit for write-audit-publish, --novelty for ingest dedup)
+compact    fold delta files into base files (+ tombstone GC horizon)
+rebucket   change the table's bucket count (atomic full rewrite)
+expire     drop retained manifest history older than a version
+vacuum     driver-side orphan-file sweep (crash leftovers)
+lookup     point read of one key (manifest file skipping, no table scan)
+changes    change-data-feed between epoch-line points
+events     event-time range scan (manifest ts-bounds file skipping)
+status     driver-side table/checkpoint health JSON (no Spark job)
+quarantine dead-letter summary: totals, pending, reasons (+ CSV)
+redrive    re-admit pending dead-lettered events as a NEW epoch through
+           the exactly-once gate, after declarative --set column fixes
 reconcile  cogroup-diff the lake's final state against an expected snapshot
 validate   reference-semantics migration validation of an OLD/NEW table
            pair, writing the reference's proof artifacts as CSVs
