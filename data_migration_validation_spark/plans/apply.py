@@ -60,9 +60,56 @@ from data_migration_validation_spark.plans.lake import (
     LakeTable,
     bucket_expr,
 )
-from data_migration_validation_spark.schema import SchemaRegistry, conform
+from data_migration_validation_spark.schema import SchemaRegistry, conform, merge_schemas
 
 ENVELOPE_COLS = ("op", "url", "warc_ts", "seq", "payload", "batch_epoch")
+
+
+def quarantine_epoch_dirs(quarantine_dir: str, pending_only: bool = True) -> list[str]:
+    """``epoch=K`` directories under a quarantine table, optionally only
+    those without a ``_REDRIVEN`` marker, sorted by epoch."""
+    if not os.path.isdir(quarantine_dir):
+        return []
+    out = []
+    for name in os.listdir(quarantine_dir):
+        if not name.startswith("epoch="):
+            continue
+        p = os.path.join(quarantine_dir, name)
+        if not os.path.isdir(p):
+            continue
+        if pending_only and os.path.exists(os.path.join(p, "_REDRIVEN")):
+            continue
+        out.append(p)
+    return sorted(out, key=lambda p: int(p.rsplit("=", 1)[1]))
+
+
+def read_quarantine_dirs(
+    spark: SparkSession, quarantine_dir: str, dirs: list[str]
+) -> DataFrame:
+    """Union the given quarantine epoch partitions under the registry's
+    widening rules. NOT parquet ``mergeSchema``: the envelope evolves
+    mid-stream, and quarantined rows keep their delivery-time schema —
+    a type-widened column (e.g. fetch_status int→long at evo3) across
+    two epochs is a CANNOT_MERGE_SCHEMAS error for mergeSchema, while
+    the engine's own lattice (``schema.merge_schemas``/``conform``)
+    widens it exactly as the lake serves old data files. Partitions are
+    grouped by identical schema first, so the union is
+    O(distinct schemas) branches — one per evolution step — not
+    O(epochs)."""
+    by_schema: dict[str, tuple] = {}
+    for d in dirs:
+        sch = spark.read.option("basePath", quarantine_dir).parquet(d).schema
+        key = sch.json()
+        by_schema.setdefault(key, (sch, []))[1].append(d)
+    target = None
+    for sch, _ in by_schema.values():
+        target = sch if target is None else merge_schemas(target, sch)
+    out = None
+    for _, (sch, group) in by_schema.items():
+        part = spark.read.option("basePath", quarantine_dir).parquet(*group)
+        part = conform(part, target)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 @dataclass
@@ -822,40 +869,15 @@ class CDCApplyEngine:
         ``_REDRIVEN`` marker) — the operational "what still needs a fix"
         view. Redriven partitions are never deleted: the dead-letter
         table stays append-only lineage."""
-        if not os.path.isdir(self.quarantine_dir):
-            return None
         dirs = self._quarantine_epoch_dirs(pending_only=pending_only)
-        if pending_only and not dirs:
+        if not dirs:
             return None
-        if not pending_only:
-            return (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(self.quarantine_dir)
-            )
-        return (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.quarantine_dir)
-            .parquet(*dirs)
-        )
+        return read_quarantine_dirs(self.spark, self.quarantine_dir, dirs)
 
     # -- quarantine redrive (DLQ reprocess) ----------------------------------------
 
     def _quarantine_epoch_dirs(self, pending_only: bool = True) -> list[str]:
-        """``epoch=K`` directories under the quarantine table, optionally
-        only those without a ``_REDRIVEN`` marker, sorted by epoch."""
-        if not os.path.isdir(self.quarantine_dir):
-            return []
-        out = []
-        for name in os.listdir(self.quarantine_dir):
-            if not name.startswith("epoch="):
-                continue
-            p = os.path.join(self.quarantine_dir, name)
-            if not os.path.isdir(p):
-                continue
-            if pending_only and os.path.exists(os.path.join(p, "_REDRIVEN")):
-                continue
-            out.append(p)
-        return sorted(out, key=lambda p: int(p.rsplit("=", 1)[1]))
+        return quarantine_epoch_dirs(self.quarantine_dir, pending_only=pending_only)
 
     def redrive_intent(self, redrive_epoch: int) -> list[int] | None:
         """The source-epoch list a redrive of ``redrive_epoch`` is (or
@@ -965,10 +987,8 @@ class CDCApplyEngine:
                 f"partitions that do not exist: {missing} (the dead-letter "
                 f"table is append-only — was it deleted externally?)"
             )
-        events = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*dirs)
-            .drop("_reason")
+        events = read_quarantine_dirs(self.spark, self.quarantine_dir, dirs).drop(
+            "_reason", "epoch"
         )
         if fix is not None:
             events = fix(events)

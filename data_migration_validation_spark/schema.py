@@ -100,17 +100,40 @@ def merge_schemas(current: StructType, incoming: StructType) -> StructType:
     return StructType(fields)
 
 
+def _conform_col(col, src: DataType, tgt: DataType):
+    """Column expression conforming ``col`` from ``src`` to ``tgt``.
+
+    Struct targets are rebuilt field-by-field (recursing for nested
+    widening) because Spark refuses a plain ``cast`` that ADDS a struct
+    field — e.g. payload<html,lang> → payload<html,lang,fetch_status> —
+    which is exactly what an additive envelope evolution produces. A
+    NULL source struct stays NULL (``F.struct`` of nulls would otherwise
+    resurrect it as a non-null struct of null fields)."""
+    if src == tgt:
+        return col
+    if isinstance(src, StructType) and isinstance(tgt, StructType):
+        present = {f.name: f.dataType for f in src.fields}
+        parts = []
+        for f in tgt.fields:
+            if f.name in present:
+                parts.append(
+                    _conform_col(col.getField(f.name), present[f.name], f.dataType).alias(f.name)
+                )
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.when(col.isNull(), F.lit(None).cast(tgt)).otherwise(F.struct(*parts))
+    return col.cast(tgt)
+
+
 def conform(df: DataFrame, target: StructType) -> DataFrame:
-    """Project df onto ``target``: cast present columns up, fill missing
-    columns with typed nulls. Pure projection — Catalyst folds it into the
-    surrounding plan."""
+    """Project df onto ``target``: cast present columns up (including
+    nested struct widening), fill missing columns with typed nulls. Pure
+    projection — Catalyst folds it into the surrounding plan."""
     present = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for f in target.fields:
         if f.name in present:
-            c = F.col(f.name)
-            if present[f.name] != f.dataType:
-                c = c.cast(f.dataType)
+            c = _conform_col(F.col(f.name), present[f.name], f.dataType)
         else:
             c = F.lit(None).cast(f.dataType)
         cols.append(c.alias(f.name))

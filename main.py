@@ -315,16 +315,24 @@ def cmd_quarantine(args: argparse.Namespace) -> int:
     """Dead-letter table: counts per rejection reason (and optional CSV)."""
     import os
 
+    from data_migration_validation_spark.plans.apply import (
+        quarantine_epoch_dirs,
+        read_quarantine_dirs,
+    )
+
     spark = _spark("dmv-quarantine")
     qdir = os.path.join(args.table, "_quarantine")
-    if not os.path.isdir(qdir):
+    dirs = quarantine_epoch_dirs(qdir, pending_only=False)
+    if not dirs:
         print(
             json.dumps(
                 {"command": "quarantine", "quarantined": 0, "pending": 0, "reasons": {}}
             )
         )
         return 0
-    df = spark.read.option("mergeSchema", "true").parquet(qdir)
+    # schema-widening-safe union (mergeSchema breaks across an envelope
+    # type evolution, e.g. fetch_status int->long)
+    df = read_quarantine_dirs(spark, qdir, dirs)
     if args.out:
         (
             df.drop("payload")

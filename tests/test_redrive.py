@@ -209,3 +209,82 @@ def test_racing_redrivers_with_different_epochs_converge(spark, tmp_path):
 
     assert _final_rows(eng) == _final_rows(clean)
     assert eng.read_quarantine(pending_only=True) is None
+
+
+def test_redrive_across_schema_evolution(spark, tmp_path):
+    """Dead-lettered events from BOTH sides of a mid-stream envelope
+    evolution (payload gains fetch_status at evo2, widens at evo3) are
+    redriven as ONE epoch: the quarantine read merges the per-epoch
+    payload schemas (pre-evolution rows surface a null fetch_status),
+    the registry's additive merge admits the superset, and the final
+    table equals the never-corrupted oracle — with fetch_status null
+    exactly for winners delivered before the column existed."""
+    from pyspark.sql.window import Window
+
+    from data_migration_validation_spark.operators.reconcile import (
+        cogroup_reconcile,
+        reconciliation_report,
+    )
+    from data_migration_validation_spark.sources.binlog import (
+        BinlogConfig,
+        epoch_slice,
+        synth_binlog,
+    )
+
+    cfg = BinlogConfig(
+        n_keys=120, max_versions=3, events_per_epoch=90, seed=11,
+        evo2_epoch=2, evo3_epoch=3, dup_pct=0,
+    )
+    log_path = str(tmp_path / "evolog")
+    synth_binlog(spark, cfg).write.parquet(log_path)
+    log = spark.read.parquet(log_path)
+
+    def mangle(df):
+        return df.withColumn(
+            "op",
+            F.when(F.col("seq") % 7 == 3, F.concat(F.col("op"), F.lit("X"))).otherwise(
+                F.col("op")
+            ),
+        )
+
+    engine = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "evot"),
+        checkpoint_path=str(tmp_path / "evoc"),
+        num_buckets=8,
+    )
+    for epoch in range(cfg.n_epochs):
+        engine.apply_epoch(mangle(epoch_slice(log, cfg, epoch)), epoch)
+
+    # corruption landed on both sides of the evolution boundary
+    pend = engine.read_quarantine(pending_only=True)
+    qepochs = {r["epoch"] for r in pend.select("epoch").distinct().collect()}
+    assert any(e < cfg.evo2_epoch for e in qepochs)
+    assert any(e >= cfg.evo2_epoch for e in qepochs)
+
+    st = engine.redrive_quarantine(cfg.n_epochs, fix=_fix)
+    assert not st.skipped and not st.rejected and st.quarantined == 0
+    assert engine.read_quarantine(pending_only=True) is None
+
+    final = engine.read_final()
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("seq").desc())
+    expected = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "url",
+            "warc_ts",
+            "seq",
+            F.col("payload.html").alias("html"),
+            F.col("payload.lang").alias("lang"),
+            F.when(
+                F.col("batch_epoch") >= cfg.evo2_epoch, F.col("payload.fetch_status")
+            ).alias("fetch_status"),
+        )
+    )
+    diff = cogroup_reconcile(
+        expected, final, key="url",
+        columns=["warc_ts", "seq", "html", "lang", "fetch_status"],
+    )
+    report = reconciliation_report(diff)
+    assert report == {}, f"redrive-across-evolution mismatch: {report}"
