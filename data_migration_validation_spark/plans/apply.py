@@ -95,18 +95,36 @@ def read_quarantine_dirs(
     widens it exactly as the lake serves old data files. Partitions are
     grouped by identical schema first, so the union is
     O(distinct schemas) branches — one per evolution step — not
-    O(epochs)."""
-    by_schema: dict[str, tuple] = {}
+    O(epochs). Grouping reads one parquet FOOTER per directory on the
+    driver (pyarrow, ~ms each) rather than a full Spark reader
+    resolution per epoch: the dead-letter table is append-only (redriven
+    partitions are kept as lineage), so a long-lived table has hundreds
+    of epoch dirs and only a handful of distinct schemas — Spark is
+    invoked once per distinct schema, not once per epoch."""
+    import pyarrow.parquet as pq
+
+    groups: dict[str, list[str]] = {}
     for d in dirs:
-        sch = spark.read.option("basePath", quarantine_dir).parquet(d).schema
-        key = sch.json()
-        by_schema.setdefault(key, (sch, []))[1].append(d)
+        parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if not parts:
+            continue  # marker-only/empty partition: nothing to union
+        key = pq.read_schema(os.path.join(d, parts[0])).to_string()
+        groups.setdefault(key, []).append(d)
+    frames = [
+        spark.read.option("basePath", quarantine_dir).parquet(*group)
+        for group in groups.values()
+    ]
+    if not frames:
+        # callers pre-check for pending dirs; all-empty partitions still
+        # need a well-typed empty frame
+        frames = [spark.read.option("basePath", quarantine_dir).parquet(*dirs)]
     target = None
-    for sch, _ in by_schema.values():
-        target = sch if target is None else merge_schemas(target, sch)
+    for part in frames:
+        target = (
+            part.schema if target is None else merge_schemas(target, part.schema)
+        )
     out = None
-    for _, (sch, group) in by_schema.items():
-        part = spark.read.option("basePath", quarantine_dir).parquet(*group)
+    for part in frames:
         part = conform(part, target)
         out = part if out is None else out.unionByName(part)
     return out
@@ -270,8 +288,16 @@ class CDCApplyEngine:
         crash_after_commit: bool = False,
         audit=None,
         crash_after_stage: bool = False,
+        commit_summary: dict | None = None,
     ) -> ApplyStats:
         """Apply one epoch's events to the lake table.
+
+        ``commit_summary``: extra provenance keys folded into the
+        commit's manifest summary (Iceberg snapshot-summary properties)
+        — e.g. the redrive protocol tags its commits ``origin=redrive``
+        so a later reader of :meth:`LakeTable.epoch_summary` can tell
+        which writer won an epoch race. Reserved keys (``epoch``,
+        ``touched_buckets``, ``applied_events``) cannot be overridden.
 
         Determinism contract: ``events`` is evaluated TWICE (the lineage
         pre-scan and the merge plan) and must produce the same rows both
@@ -571,7 +597,7 @@ class CDCApplyEngine:
                 touched_buckets=touched,
                 epoch=epoch,
                 schema=target,
-                summary={"applied_events": n_events},
+                summary={**(commit_summary or {}), "applied_events": n_events},
                 mode=commit_mode,
                 publish=audit is None,
             )
@@ -942,9 +968,18 @@ class CDCApplyEngine:
         transform. An audit rejection (``stats.rejected``) leaves the
         sources unmarked and the intent in place — the retry re-stages.
 
-        Raises if ``redrive_epoch`` was already committed by a normal
-        ingest (the exactly-once skip would silently drop the redriven
-        rows while marking their sources done — data loss)."""
+        Raises if ``redrive_epoch`` is (or becomes) committed by a normal
+        ingest: the up-front check catches an already-committed epoch,
+        and the commit's ``origin=redrive`` summary tag catches the
+        IN-FLIGHT race — if the post-apply idempotent skip finds the
+        epoch was won by a commit without the tag, the sources stay
+        pending, the now-unusable intent is retired, and the caller is
+        told to retry with an unused epoch (the exactly-once skip would
+        otherwise silently drop the redriven rows while marking their
+        sources done — data loss). A skip whose winner IS a redrive
+        commit is the converging-sibling / crash-resume case: markers
+        and lineage metrics complete normally, with the applied-event
+        count read back from the commit summary."""
         intent_path = self._redrive_intent_path(redrive_epoch)
         if os.path.exists(intent_path):
             with open(intent_path) as f:
@@ -958,7 +993,40 @@ class CDCApplyEngine:
                     f"pick an unused epoch"
                 )
             if source_epochs is not None:
-                epochs = sorted(int(e) for e in source_epochs)
+                epochs = sorted({int(e) for e in source_epochs})
+                # validate BEFORE the intent is durably published: every
+                # retry adopts the intent verbatim, so a bad list written
+                # into it would wedge this redrive epoch forever
+                missing_e = [
+                    e
+                    for e in epochs
+                    if not os.path.isdir(
+                        os.path.join(self.quarantine_dir, f"epoch={e}")
+                    )
+                ]
+                if missing_e:
+                    raise FileNotFoundError(
+                        f"source_epochs name quarantine partitions that do "
+                        f"not exist: {missing_e}; no intent was published — "
+                        f"fix the list and retry"
+                    )
+                done = [
+                    e
+                    for e in epochs
+                    if os.path.exists(
+                        os.path.join(
+                            self.quarantine_dir, f"epoch={e}", "_REDRIVEN"
+                        )
+                    )
+                ]
+                if done:
+                    raise ValueError(
+                        f"source epochs {done} were already redriven (their "
+                        f"_REDRIVEN markers exist) — re-admitting them would "
+                        f"double-apply the events under a second epoch; pass "
+                        f"only pending partitions "
+                        f"(read_quarantine(pending_only=True))"
+                    )
             else:
                 epochs = [
                     int(p.rsplit("=", 1)[1]) for p in self._quarantine_epoch_dirs()
@@ -993,9 +1061,36 @@ class CDCApplyEngine:
         if fix is not None:
             events = fix(events)
 
-        stats = self.apply_epoch(events, redrive_epoch, audit=audit)
+        stats = self.apply_epoch(
+            events, redrive_epoch, audit=audit, commit_summary={"origin": "redrive"}
+        )
         if stats.rejected:
             return stats
+        summary: dict = {}
+        if stats.skipped:
+            # someone else committed this epoch (idempotent entry skip or
+            # a lost publish race). Only a sibling redriver of the SAME
+            # intent carries identical content — a NORMAL ingest that took
+            # the epoch number never applied our rows, so stamping the
+            # sources _REDRIVEN would silently lose them. The commit
+            # summary's origin tag (riding the commit atomically)
+            # distinguishes the two.
+            summary = self.lake.epoch_summary(redrive_epoch) or {}
+            if summary.get("origin") != "redrive":
+                try:
+                    # the epoch number is burned: this intent can never
+                    # commit. Retiring it un-wedges the sources (they
+                    # stay pending; nothing was applied).
+                    os.unlink(intent_path)
+                except FileNotFoundError:
+                    pass
+                raise RuntimeError(
+                    f"redrive epoch {redrive_epoch} was committed by a "
+                    f"concurrent normal ingest while this redrive was in "
+                    f"flight — the redriven events were NOT applied. All "
+                    f"source partitions remain pending and the intent was "
+                    f"retired; retry with an unused epoch"
+                )
 
         # markers LAST: each names the redrive epoch for lineage, but the
         # protocol only relies on existence (a torn write still marks)
@@ -1004,7 +1099,24 @@ class CDCApplyEngine:
             if not os.path.exists(marker):
                 with open(marker, "w") as f:
                     f.write(str(redrive_epoch))
-        if not stats.skipped:
+        # lineage metrics exactly once per redrive epoch, durable across
+        # the commit→marker crash window: a resume (skipped, origin ours)
+        # reads the applied-event count from the commit summary instead
+        # of its own empty run, and the existence check keeps a second
+        # resume from overwriting the record with zeros
+        m = self.ckpt.metrics()
+        recorded = bool(
+            len(m)
+            and not m[
+                (m["epoch"] == redrive_epoch) & (m["stage"] == "redrive")
+            ].empty
+        )
+        if not recorded:
+            events_val = (
+                float(summary.get("applied_events") or 0)
+                if stats.skipped
+                else float(stats.events_seen)
+            )
             self.ckpt.append_metrics(
                 [
                     {
@@ -1017,7 +1129,7 @@ class CDCApplyEngine:
                         "epoch": redrive_epoch,
                         "stage": "redrive",
                         "metric": "redriven_events",
-                        "value": float(stats.events_seen),
+                        "value": events_val,
                     },
                 ]
             )

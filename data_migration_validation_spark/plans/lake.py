@@ -525,6 +525,22 @@ class LakeTable:
         snap = self.current_snapshot()
         return set(snap.epochs) if snap else set()
 
+    def epoch_summary(self, epoch: int) -> dict | None:
+        """The commit summary of the published version that applied
+        ``epoch`` (Iceberg snapshot-summary lookup), or None if no
+        published commit carries it. Lets a writer that lost an
+        idempotent-skip race inspect WHO committed the epoch — e.g. the
+        redrive protocol checks ``summary["origin"]`` to distinguish a
+        sibling redriver (same content, markers safe) from a normal
+        ingest that burned the epoch number (markers would lose data).
+        Manifest-only: O(versions) reads of O(1)-sized JSON, newest
+        first; no data files touched."""
+        for v in sorted(self.versions(), reverse=True):
+            s = self._manifest_raw(v).get("summary") or {}
+            if s.get("epoch") == epoch:
+                return s
+        return None
+
     def _next_version(self) -> int:
         # Scan existing manifests (not CURRENT) so a crash between manifest
         # write and pointer update never reuses a version number.

@@ -345,13 +345,11 @@ def cmd_quarantine(args: argparse.Namespace) -> int:
 
     # pending = events in epochs not yet re-admitted by a redrive (no
     # _REDRIVEN marker); the delta vs total is already-redriven lineage.
-    # Marker listing is driver-side; the counts fold into the one scan.
+    # Marker listing is driver-side (the engine's own pending-partition
+    # rule, not a reimplementation); the counts fold into the one scan.
     pending_epochs = [
-        int(name.split("=", 1)[1])
-        for name in os.listdir(qdir)
-        if name.startswith("epoch=")
-        and os.path.isdir(os.path.join(qdir, name))
-        and not os.path.exists(os.path.join(qdir, name, "_REDRIVEN"))
+        int(d.rsplit("=", 1)[1])
+        for d in quarantine_epoch_dirs(qdir, pending_only=True)
     ]
     is_pending = (
         F.col("epoch").isin(pending_epochs) if pending_epochs else F.lit(False)
@@ -417,11 +415,15 @@ def cmd_redrive(args: argparse.Namespace) -> int:
                 df = df.withColumn(col, F.expr(expr))
             return df
 
-    source = (
-        [int(e) for e in args.source_epochs.split(",")]
-        if args.source_epochs
-        else None
-    )
+    source = None
+    if args.source_epochs:
+        try:
+            source = [int(e) for e in args.source_epochs.split(",")]
+        except ValueError:
+            raise SystemExit(
+                f"--source-epochs expects a comma-separated list of epoch "
+                f"numbers (e.g. 3,4,7), got: {args.source_epochs!r}"
+            ) from None
     audit = None
     if args.audit:
         from data_migration_validation_spark.operators.audit import page_envelope_audit

@@ -352,6 +352,14 @@ def test_redrive_cli(spark, tmp_path, capsys):
                   eng.ckpt.path, "--epoch", "11", "--set", bad])
     assert eng.redrive_intent(11) is None
 
+    # same for a malformed --source-epochs (trailing comma, semicolons,
+    # blanks): a clean usage error, and no intent published
+    for bad in ("3,4,", "3;4", "3, "):
+        with pytest.raises(SystemExit, match="source-epochs"):
+            _run(["redrive", "--table", eng.lake.path, "--checkpoint",
+                  eng.ckpt.path, "--epoch", "11", "--source-epochs", bad])
+    assert eng.redrive_intent(11) is None
+
     # a pre-existing intent overrides --source-epochs, and the output
     # says so instead of letting the operator assume their list ran
     eng2 = _replay_corrupted(spark, tmp_path, "clird2")

@@ -137,12 +137,16 @@ def test_redrive_crash_before_markers_resumes_from_intent(spark, tmp_path):
     # step 1: intent (as redrive_quarantine would write it)
     with open(eng._redrive_intent_path(4), "w") as f:
         json.dump({"redrive_epoch": 4, "source_epochs": [0, 1, 2]}, f)
-    # step 2: the committed apply
+    # step 2: the committed apply (origin-tagged, as redrive_quarantine
+    # commits it — the resume distinguishes OUR commit from a normal
+    # ingest that raced onto the epoch number by this tag)
     dirs = [os.path.join(eng.quarantine_dir, f"epoch={e}") for e in (0, 1, 2)]
     fixed = _fix(
         spark.read.option("mergeSchema", "true").parquet(*dirs).drop("_reason")
     )
-    assert not eng.apply_epoch(fixed, 4).skipped
+    assert not eng.apply_epoch(
+        fixed, 4, commit_summary={"origin": "redrive"}
+    ).skipped
     # crash here: no markers. A NEW bad epoch arrives before the resume.
     st5 = eng.apply_epoch(_bad_rows(spark, 5), 5)
     assert st5.quarantined == 5
@@ -159,6 +163,16 @@ def test_redrive_crash_before_markers_resumes_from_intent(spark, tmp_path):
         )
     pend = eng.read_quarantine(pending_only=True)
     assert set(r["epoch"] for r in pend.collect()) == {5}
+
+    # lineage metrics survive the commit→marker crash: the resume reads
+    # the applied-event count back from the commit summary (its own run
+    # saw zero events) and records the redrive exactly once
+    m = eng.ckpt.metrics()
+    m = m[m.stage == "redrive"].sort_values("metric")
+    assert list(zip(m.metric, m.value)) == [
+        ("redrive_source_epochs", 3.0),
+        ("redriven_events", 3.0),
+    ]
 
 
 def test_partial_fix_requeues_uncured_rows(spark, tmp_path):
@@ -288,3 +302,64 @@ def test_redrive_across_schema_evolution(spark, tmp_path):
     )
     report = reconciliation_report(diff)
     assert report == {}, f"redrive-across-evolution mismatch: {report}"
+
+
+def test_redrive_losing_epoch_race_to_normal_ingest_raises(spark, tmp_path):
+    """A NORMAL ingest commits the redrive's epoch number while the
+    redrive is in flight (intent published, apply not yet committed).
+    The idempotent skip must NOT be mistaken for success: no _REDRIVEN
+    marker is written (the redriven rows were never applied — marking
+    would lose them permanently), the burned intent is retired, and a
+    retry with a fresh epoch completes the redrive."""
+    clean = _replay(spark, tmp_path, "rfclean", [0, 1, 2, 3])
+    eng = _replay_corrupted(spark, tmp_path, "rf")
+
+    # in-flight redrive: intent for epoch 4 published...
+    with open(eng._redrive_intent_path(4), "w") as f:
+        json.dump({"redrive_epoch": 4, "source_epochs": [0, 1, 2]}, f)
+    # ...and a concurrent normal ingest wins epoch 4 first (re-delivered
+    # epoch-3 events: content is irrelevant, the epoch NUMBER is burned)
+    assert not eng.apply_epoch(_events(spark, _EPOCHS[3], 3), 4).skipped
+
+    with pytest.raises(RuntimeError, match="normal ingest"):
+        eng.redrive_quarantine(4, fix=_fix)
+
+    # nothing marked, nothing lost, intent retired
+    pend = eng.read_quarantine(pending_only=True)
+    assert pend.count() == 3
+    assert not os.path.exists(eng._redrive_intent_path(4))
+    assert eng.ckpt.metrics().query("stage == 'redrive'").empty
+
+    # the retry with an unused epoch completes and restores clean state
+    st = eng.redrive_quarantine(6, fix=_fix)
+    assert not st.skipped and st.events_seen == 3
+    assert _final_rows(eng) == _final_rows(clean)
+    assert eng.read_quarantine(pending_only=True) is None
+
+
+def test_bad_source_epochs_do_not_wedge_the_redrive_epoch(spark, tmp_path):
+    """A typo'd --source-epochs must fail BEFORE the intent is durably
+    published — otherwise every retry (including the corrected one)
+    adopts the bad list verbatim and the redrive epoch is wedged until
+    someone hand-deletes the intent file."""
+    eng = _replay_corrupted(spark, tmp_path, "rdbad")
+    with pytest.raises(FileNotFoundError, match="no intent was published"):
+        eng.redrive_quarantine(4, fix=_fix, source_epochs=[7])
+    assert not os.path.exists(eng._redrive_intent_path(4))
+
+    # the corrected retry reuses the SAME epoch — nothing was wedged
+    st = eng.redrive_quarantine(4, fix=_fix, source_epochs=[0, 1, 2])
+    assert not st.skipped and st.events_seen == 3
+
+
+def test_explicit_source_epochs_refuse_already_redriven(spark, tmp_path):
+    """An explicit source list naming partitions that already carry a
+    _REDRIVEN marker is refused: re-admitting them under a second epoch
+    double-applies the events (and with a different fix, divergently),
+    and the marker's lineage would point at the wrong redrive."""
+    eng = _replay_corrupted(spark, tmp_path, "rdar")
+    assert not eng.redrive_quarantine(4, fix=_fix).skipped
+
+    with pytest.raises(ValueError, match="already redriven"):
+        eng.redrive_quarantine(6, fix=_fix, source_epochs=[0, 1])
+    assert not os.path.exists(eng._redrive_intent_path(6))
