@@ -65,6 +65,20 @@ from data_migration_validation_spark.schema import SchemaRegistry, conform, merg
 ENVELOPE_COLS = ("op", "url", "warc_ts", "seq", "payload", "batch_epoch")
 
 
+class EpochOriginConflict(RuntimeError):
+    """An idempotent epoch skip found the committed epoch was written by
+    a DIFFERENT kind of writer (commit-summary ``origin`` tag mismatch).
+    Identical-epoch convergence — the rule that makes skipping an
+    already-committed epoch safe — only holds between writers replaying
+    the same deterministic source slice; a mismatched origin means THIS
+    caller's events were never applied, so skipping silently would lose
+    them. Both directions are loud: a normal ingest whose epoch number
+    was taken by a redrive commit raises here (its source slice was not
+    applied), and a redrive whose epoch was taken by a normal ingest
+    raises too (handled by redrive_quarantine, which retires the burned
+    intent and leaves the sources pending)."""
+
+
 def quarantine_epoch_dirs(quarantine_dir: str, pending_only: bool = True) -> list[str]:
     """``epoch=K`` directories under a quarantine table, optionally only
     those without a ``_REDRIVEN`` marker, sorted by epoch."""
@@ -281,6 +295,25 @@ class CDCApplyEngine:
 
     # -- one epoch --------------------------------------------------------------
 
+    def _check_skip_origin(self, epoch: int, commit_summary: dict | None) -> None:
+        """Guard the idempotent skip: the committed epoch's origin tag
+        (O(1) from the current manifest) must match this caller's.
+        Identical-epoch convergence assumes both writers replay the same
+        deterministic source slice; a redrive taking an ingest's epoch
+        number (or vice versa) breaks that, and skipping silently would
+        lose the caller's events."""
+        mine = (commit_summary or {}).get("origin")
+        theirs = self.lake.epoch_origin(epoch)
+        if theirs != mine:
+            raise EpochOriginConflict(
+                f"epoch {epoch} is committed with origin="
+                f"{theirs or 'ingest'!r} but this apply carries origin="
+                f"{mine or 'ingest'!r} — the idempotent skip only converges "
+                f"between writers replaying the same source slice, so this "
+                f"call's events were NOT applied (redrives must use epoch "
+                f"numbers no ingest will replay)"
+            )
+
     def apply_epoch(
         self,
         events: DataFrame,
@@ -320,6 +353,7 @@ class CDCApplyEngine:
         orphan is reclaimable via ``LakeTable.cleanup_staged()``."""
         t0 = time.monotonic()
         if epoch in self.lake.epochs_applied():
+            self._check_skip_origin(epoch, commit_summary)
             return ApplyStats(epoch=epoch, skipped=True)
 
         key = self.key_col
@@ -742,6 +776,17 @@ class CDCApplyEngine:
                     },
                 )
             self.ckpt.append_metrics(metrics)
+        if not committed:
+            # a commit/publish conflict resolved to "another writer already
+            # committed this epoch" — safe only if that writer was the same
+            # KIND of writer (same origin). Checked before the epoch is
+            # checkpointed so a conflict raise leaves the checkpoint clean.
+            try:
+                self._check_skip_origin(epoch, commit_summary)
+            except EpochOriginConflict:
+                if self.novelty is not None:
+                    self.novelty.release()
+                raise
         if crash_after_commit:
             raise RuntimeError("injected crash between commit and checkpoint")
         self.ckpt.write_epoch(epoch)
@@ -1061,36 +1106,38 @@ class CDCApplyEngine:
         if fix is not None:
             events = fix(events)
 
-        stats = self.apply_epoch(
-            events, redrive_epoch, audit=audit, commit_summary={"origin": "redrive"}
-        )
+        try:
+            stats = self.apply_epoch(
+                events,
+                redrive_epoch,
+                audit=audit,
+                commit_summary={"origin": "redrive"},
+            )
+        except EpochOriginConflict:
+            # a NORMAL ingest committed this epoch number (entry race or
+            # lost publish race): our rows were never applied, so stamping
+            # the sources _REDRIVEN would silently lose them. The epoch
+            # number is burned — retire the intent (un-wedging the still-
+            # pending sources) and tell the operator to retry.
+            try:
+                os.unlink(intent_path)
+            except FileNotFoundError:
+                pass
+            raise RuntimeError(
+                f"redrive epoch {redrive_epoch} was committed by a "
+                f"concurrent normal ingest while this redrive was in "
+                f"flight — the redriven events were NOT applied. All "
+                f"source partitions remain pending and the intent was "
+                f"retired; retry with an unused epoch"
+            ) from None
         if stats.rejected:
             return stats
         summary: dict = {}
         if stats.skipped:
-            # someone else committed this epoch (idempotent entry skip or
-            # a lost publish race). Only a sibling redriver of the SAME
-            # intent carries identical content — a NORMAL ingest that took
-            # the epoch number never applied our rows, so stamping the
-            # sources _REDRIVEN would silently lose them. The commit
-            # summary's origin tag (riding the commit atomically)
-            # distinguishes the two.
+            # the skip passed the origin check, so the committed epoch IS
+            # a redrive of this same intent (sibling / crash resume) —
+            # fetch its summary for the applied-event count below
             summary = self.lake.epoch_summary(redrive_epoch) or {}
-            if summary.get("origin") != "redrive":
-                try:
-                    # the epoch number is burned: this intent can never
-                    # commit. Retiring it un-wedges the sources (they
-                    # stay pending; nothing was applied).
-                    os.unlink(intent_path)
-                except FileNotFoundError:
-                    pass
-                raise RuntimeError(
-                    f"redrive epoch {redrive_epoch} was committed by a "
-                    f"concurrent normal ingest while this redrive was in "
-                    f"flight — the redriven events were NOT applied. All "
-                    f"source partitions remain pending and the intent was "
-                    f"retired; retry with an unused epoch"
-                )
 
         # markers LAST: each names the redrive epoch for lineage, but the
         # protocol only relies on existence (a torn write still marks)

@@ -95,6 +95,20 @@ def _expand_ranges(ranges) -> list[int]:
     return [v for lo, hi in ranges for v in range(int(lo), int(hi) + 1)]
 
 
+def _fold_origin(
+    prev_origins: dict | None, epoch: int | None, summary: dict | None
+) -> dict:
+    """Carry forward the per-origin condensed epoch ranges, folding in
+    this commit's epoch when its summary carries an ``origin`` tag."""
+    out = {k: [list(r) for r in v] for k, v in (prev_origins or {}).items()}
+    origin = (summary or {}).get("origin")
+    if epoch is not None and origin:
+        out[str(origin)] = _condense_ranges(
+            _expand_ranges(out.get(str(origin), [])) + [int(epoch)]
+        )
+    return out
+
+
 def _epochs_of(m: dict) -> list[int]:
     """Applied epochs from a raw manifest — condensed ``epoch_ranges``
     (current format) or the flat legacy ``epochs`` list."""
@@ -188,6 +202,13 @@ class Snapshot:
     # range reads skip files whose window cannot overlap. Same
     # absent-means-candidate rule.
     ts_stats: dict | None = None
+    # epochs committed with a non-null summary origin tag, condensed per
+    # origin: {"redrive": [[lo, hi], ...]}. Lets the apply path tell on
+    # EVERY idempotent skip — O(1), no historical-manifest scan — whether
+    # the committed epoch came from the same kind of writer (identical-
+    # epoch convergence only holds between writers replaying the same
+    # source slice). Tagged commits are rare, so the map stays tiny.
+    origin_epochs: dict | None = None
 
     def __post_init__(self):
         if self.delta_groups is None:
@@ -419,6 +440,7 @@ class LakeTable:
             table_props=m.get("table"),
             file_stats=file_stats,
             ts_stats=ts_stats,
+            origin_epochs=m.get("origin_epochs"),
         )
 
     def snapshot(self, version: int) -> Snapshot:
@@ -524,6 +546,18 @@ class LakeTable:
     def epochs_applied(self) -> set[int]:
         snap = self.current_snapshot()
         return set(snap.epochs) if snap else set()
+
+    def epoch_origin(self, epoch: int) -> str | None:
+        """The origin tag the commit of ``epoch`` carried (e.g.
+        ``"redrive"``), or None for a plain ingest commit. O(1): read
+        from the condensed ``origin_epochs`` ranges in the CURRENT
+        manifest, not a scan over historical manifests — cheap enough
+        for the apply path to check on every idempotent skip."""
+        snap = self.current_snapshot()
+        for origin, ranges in ((snap.origin_epochs if snap else None) or {}).items():
+            if any(int(lo) <= epoch <= int(hi) for lo, hi in ranges):
+                return origin
+        return None
 
     def epoch_summary(self, epoch: int) -> dict | None:
         """The commit summary of the published version that applied
@@ -1073,6 +1107,12 @@ class LakeTable:
             # grow with the table's entire epoch history
             "epoch_ranges": _condense_ranges(
                 (applied | {epoch}) if epoch is not None else applied
+            ),
+            # origin-tagged epochs, carried forward and condensed like
+            # epoch_ranges (tagged commits — redrives — are rare, so this
+            # stays O(1); see Snapshot.origin_epochs)
+            "origin_epochs": _fold_origin(
+                (prev.origin_epochs if prev else None), epoch, summary
             ),
             "schema": schema.json(),
             "bucket_manifests": bucket_manifests,

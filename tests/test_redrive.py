@@ -363,3 +363,20 @@ def test_explicit_source_epochs_refuse_already_redriven(spark, tmp_path):
     with pytest.raises(ValueError, match="already redriven"):
         eng.redrive_quarantine(6, fix=_fix, source_epochs=[0, 1])
     assert not os.path.exists(eng._redrive_intent_path(6))
+
+
+def test_normal_ingest_refuses_epoch_stolen_by_redrive(spark, tmp_path):
+    """The mirror race: a redrive commits an epoch number that the
+    normal ingest replay later reaches. The ingest's idempotent skip
+    would silently drop that entire source slice (the redrive's content
+    is not the slice); the origin tag recorded in the manifest turns it
+    into a loud EpochOriginConflict instead."""
+    from data_migration_validation_spark.plans.apply import EpochOriginConflict
+
+    eng = _replay_corrupted(spark, tmp_path, "rdsteal")  # epochs 0-3
+    assert not eng.redrive_quarantine(4, fix=_fix).skipped  # burns epoch 4
+
+    with pytest.raises(EpochOriginConflict, match="NOT applied"):
+        eng.apply_epoch(_events(spark, _EPOCHS[3], 3), 4)
+    # the genuine resume of an ingest-committed epoch still skips quietly
+    assert eng.apply_epoch(_events(spark, _EPOCHS[3], 3), 3).skipped
