@@ -493,6 +493,10 @@ def cmd_status(args: argparse.Namespace) -> int:
         # time bounds (files without bounds are always scan candidates)
         "files_with_key_bounds": len(snap.file_stats or {}),
         "files_with_ts_bounds": len(snap.ts_stats or {}),
+        # origin-tagged commits (condensed ranges, e.g. redrive epochs):
+        # which epoch numbers are NOT plain ingest — the numbers a
+        # replayer must never reuse for a source slice
+        "origin_epochs": snap.origin_epochs or {},
         "table": snap.table_props,
     }
 

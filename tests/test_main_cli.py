@@ -293,6 +293,7 @@ def test_status_cli_is_sparkless(spark, tmp_path, capsys):
     assert snap["bytes"] > 0
     assert snap["staged_versions"] == []
     assert snap["table"]["num_buckets"] == 8
+    assert snap["origin_epochs"] == {}  # plain ingest: no tagged commits
     assert out["quarantined_events"] == 0
     ck = out["checkpoint"]
     assert ck["events_applied"] > 0 and ck["lineage_epochs"] >= 1
@@ -334,6 +335,13 @@ def test_redrive_cli(spark, tmp_path, capsys):
     assert _run(["quarantine", "--table", eng.lake.path]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["quarantined"] == 3 and out["pending"] == 0
+
+    # status surfaces the origin-tagged (redrive) epoch ranges — the
+    # numbers a replayer must never reuse for a source slice
+    assert _run(["status", "--table", eng.lake.path,
+                 "--checkpoint", eng.ckpt.path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["snapshot"]["origin_epochs"] == {"redrive": [[9, 9]]}
 
     # nothing pending → a second redrive is a skip, not an error
     rc = _run(
