@@ -380,3 +380,51 @@ def test_normal_ingest_refuses_epoch_stolen_by_redrive(spark, tmp_path):
         eng.apply_epoch(_events(spark, _EPOCHS[3], 3), 4)
     # the genuine resume of an ingest-committed epoch still skips quietly
     assert eng.apply_epoch(_events(spark, _EPOCHS[3], 3), 3).skipped
+
+
+def test_redrive_publish_race_takes_conflict_path(spark, tmp_path, monkeypatch):
+    """The in-flight window the entry check cannot see: a normal ingest
+    commits the redrive's epoch number AFTER redrive_quarantine passed
+    its entry checks but BEFORE its own commit publishes. The commit
+    conflict resolves to 'epoch already applied' — and the origin check
+    on that conflict-resolved skip must turn it into the same loud
+    retire-and-retry outcome as the entry race, never a silent
+    _REDRIVEN stamp."""
+    clean = _replay(spark, tmp_path, "rpclean", [0, 1, 2, 3])
+    eng = _replay_corrupted(spark, tmp_path, "rp")
+    foreign = CDCApplyEngine(
+        spark,
+        table_path=eng.lake.path,
+        checkpoint_path=str(tmp_path / "rp-foreign-ck"),
+        num_buckets=8,
+    )
+
+    real_commit = eng.lake.commit
+    fired = []
+
+    def sabotage(**kw):
+        if kw.get("epoch") == 4 and not fired:
+            fired.append(True)
+            # the racing normal ingest wins epoch 4 mid-flight
+            assert not foreign.apply_epoch(_events(spark, _EPOCHS[3], 3), 4).skipped
+        return real_commit(**kw)
+
+    monkeypatch.setattr(eng.lake, "commit", sabotage)
+    with pytest.raises(RuntimeError, match="normal ingest"):
+        eng.redrive_quarantine(4, fix=_fix)
+    monkeypatch.setattr(eng.lake, "commit", real_commit)
+
+    # loss prevented: sources pending, no markers, intent retired
+    assert eng.read_quarantine(pending_only=True).count() == 3
+    for e in (0, 1, 2):
+        assert not os.path.exists(
+            os.path.join(eng.quarantine_dir, f"epoch={e}", "_REDRIVEN")
+        )
+    assert not os.path.exists(eng._redrive_intent_path(4))
+
+    # the retry on a fresh epoch completes; epoch 4's foreign content was
+    # a re-delivered slice, so the final state still equals the oracle
+    st = eng.redrive_quarantine(6, fix=_fix)
+    assert not st.skipped and st.events_seen == 3
+    assert _final_rows(eng) == _final_rows(clean)
+    assert eng.read_quarantine(pending_only=True) is None
