@@ -1033,9 +1033,10 @@ class CDCApplyEngine:
             if redrive_epoch in self.lake.epochs_applied():
                 raise ValueError(
                     f"redrive_epoch {redrive_epoch} is already committed by a "
-                    f"prior ingest and no redrive intent exists for it — the "
-                    f"exactly-once skip would discard the redriven events; "
-                    f"pick an unused epoch"
+                    f"prior {self.lake.epoch_origin(redrive_epoch) or 'ingest'} "
+                    f"and no redrive intent exists for it — the exactly-once "
+                    f"skip would discard the redriven events; pick an unused "
+                    f"epoch"
                 )
             if source_epochs is not None:
                 epochs = sorted({int(e) for e in source_epochs})
