@@ -237,3 +237,24 @@ def test_epoch_ranges_condense_and_roundtrip(tmp_path):
     import json
 
     assert len(json.dumps(_condense_ranges(big))) < 20
+
+
+def test_origin_fold_carries_and_condenses(tmp_path):
+    """Origin-tagged epochs fold forward like epoch_ranges: untagged and
+    maintenance (epoch=None) commits carry the map unchanged, tagged
+    commits extend their origin's condensed ranges, and the input dict
+    is never mutated (manifests are immutable snapshots)."""
+    from data_migration_validation_spark.plans.lake import _fold_origin
+
+    assert _fold_origin(None, 0, {"applied_events": 3}) == {}
+    assert _fold_origin(None, 7, {"origin": "redrive"}) == {"redrive": [[7, 7]]}
+    prev = {"redrive": [[7, 7]]}
+    out = _fold_origin(prev, 8, {"origin": "redrive"})
+    assert out == {"redrive": [[7, 8]]}
+    assert prev == {"redrive": [[7, 7]]}  # no aliasing back into prev
+    # untagged and maintenance commits carry forward verbatim
+    assert _fold_origin(prev, 9, {"applied_events": 1}) == prev
+    assert _fold_origin(prev, None, {"origin": "redrive"}) == prev
+    # a second origin gets its own ranges
+    two = _fold_origin(prev, 100, {"origin": "backfill"})
+    assert two == {"redrive": [[7, 7]], "backfill": [[100, 100]]}
