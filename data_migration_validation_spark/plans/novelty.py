@@ -185,9 +185,14 @@ class NoveltyFilter:
         # epochs, and an uncovered bloom degrades to the exact check —
         # never to a blind admit (see _blooms_for).
         self._bloom_cache: dict[int, tuple[np.ndarray, int]] | None = None
-        # highest committed watermark a cache refresh has been attempted
-        # for — bounds refresh traffic to one store re-read per advance
-        self._bloom_refreshed_for: int = -1
+        # the exact committed-epoch SET the cache is known to cover —
+        # either read from the store while those epochs were committed,
+        # or folded by this process itself (_update_blooms). Tracked as a
+        # set, NOT a high-water mark: another writer can fold a GAP epoch
+        # below an unchanged max(committed), and a watermark gate would
+        # keep trusting a cache missing that epoch's bits (a bloom MISS
+        # admits blindly — silent re-admit of committed content).
+        self._bloom_refreshed_for: set[int] = set()
 
     # -- bloom persistence ----------------------------------------------------
     #
@@ -236,23 +241,24 @@ class NoveltyFilter:
         def usable(bm: np.ndarray, head: int) -> bool:
             return len(bm) == nbytes and (need is None or head >= need)
 
-        # at most ONE refresh per high-water mark advance. The refresh is
-        # UNCONDITIONAL on the cached heads: a head only records the MAX
-        # epoch this or some writer folded, never interior coverage — in
-        # a gap replay this process can fold epoch 5 (cached head=5)
-        # while ANOTHER process later folds epochs 3-4 into the store, so
-        # a head>=need shortcut would trust a cache missing committed
-        # bits and silently re-admit epoch-3 content on a bloom MISS.
-        # The store copy itself is always a superset of every committed
-        # epoch's bits (folds are CAS-unions and run before the epoch's
-        # lake commit), so cache==store-at-watermark is sufficient.
+        # refresh whenever the committed SET gained an epoch this cache
+        # has not covered — not merely when max(committed) advanced. A
+        # head only records the MAX epoch some writer folded, never
+        # interior coverage: in a gap replay ANOTHER process can fold
+        # epoch 3 into the store while max(committed) stays 5, and a
+        # watermark-gated cache (head=5 ≥ need=5, no refresh) would then
+        # lack epoch 3's bits and silently re-admit its content on a
+        # bloom MISS. The store copy itself is always a superset of every
+        # committed epoch's bits (folds are CAS-unions and run before the
+        # epoch's lake commit), so cache==store-at-committed-set is
+        # sufficient; _update_blooms marks this process's own folds as
+        # covered, keeping the single-writer path refresh-free.
         if self._bloom_cache is None:
             self._load_blooms()
-            if need is not None:
-                self._bloom_refreshed_for = max(self._bloom_refreshed_for, need)
-        elif need is not None and need > self._bloom_refreshed_for:
+            self._bloom_refreshed_for |= committed_epochs
+        elif committed_epochs - self._bloom_refreshed_for:
             self._load_blooms(refresh=True)
-            self._bloom_refreshed_for = need
+            self._bloom_refreshed_for |= committed_epochs
         assert self._bloom_cache is not None
         return {
             b: bm
@@ -422,8 +428,12 @@ class NoveltyFilter:
         #    CAS-folds fixed-size bitmaps into the store (never row data)
         self._update_blooms(novel, epoch)
 
-        n_cand = int(obs_cand.get["n"])  # upsert winners incl. in-epoch dups
-        n_admitted = int(obs_adm.get["n"])
+        # elision-safe reads (same guard as admit_neardup): AQE's empty-
+        # relation propagation can remove a zero-row subtree together
+        # with its CollectMetrics node, and a raw ``obs.get`` then fails.
+        # Elision ⇔ the subtree was empty ⇔ both counts are 0.
+        n_cand = _obs_metric(obs_cand, "n", default=0)  # winners incl. in-epoch dups
+        n_admitted = _obs_metric(obs_adm, "n", default=0)
         admitted = novel.drop(FP_COL, FPB_COL)
         # the returned plan references the persisted frames; the engine
         # calls release() once its commit has consumed them
@@ -767,6 +777,10 @@ class NoveltyFilter:
             # invariant; rebuild only differs in the head it may claim.
             self._save_bloom(b, add, epoch, rebuild_head=rebuild_head)
         # buckets with no admitted rows this epoch keep their stored bloom
+        # (coherent w.r.t. this epoch trivially), and each touched
+        # bucket's cache entry was CAS-merged with fresh store content —
+        # so this process's cache now covers this epoch everywhere:
+        self._bloom_refreshed_for.add(int(epoch))
 
     # -- near-duplicate admission (MinHash-banded) -----------------------------
 

@@ -814,7 +814,9 @@ def test_trusted_index_allows_own_epoch_in_generation(spark, tmp_path):
 def test_bloom_refresh_once_per_high_water_mark(spark, tmp_path):
     """A bucket that stays uncovered after a refresh (legacy/geometry-
     swapped bloom, head=-1) must not turn every admit into n_buckets
-    store reads: at most one refresh per committed high-water mark."""
+    store reads: at most one refresh per NEW committed epoch (the
+    committed-set gate) — a repeat admit against the same committed set
+    reads nothing."""
     eng = _engine(spark, tmp_path, name="blthrottle")
     for e, rows in enumerate(
         [[_ev("I", "u/a", 1, "alpha text")], [_ev("I", "u/b", 10, "beta text", 1)]]
@@ -834,7 +836,7 @@ def test_bloom_refresh_once_per_high_water_mark(spark, tmp_path):
     nf.store.read = lambda n: (reads.append(n), real_read(n))[1]
 
     nf._bloom_cache[k] = (bm, -1)
-    nf._bloom_refreshed_for = -1  # as a fresh process would start
+    nf._bloom_refreshed_for = set()  # as a fresh process would start
     out = nf._blooms_for({0, 1})
     n_after_first = len(reads)
     assert n_after_first > 0  # one refresh happened
@@ -875,6 +877,77 @@ def test_bloom_cache_refreshes_on_watermark_advance(tmp_path):
     )
 
 
+def test_gap_fold_below_unchanged_watermark_refreshes(spark, tmp_path):
+    """Two gap-replayers below an unchanged max(committed): A's cache
+    last refreshed while max=5, B then folds GAP epoch 3's fingerprints
+    into the store (max still 5), and A admits epoch 3's content again.
+    A watermark-gated cache (head=5 >= need=5, no refresh) would lack
+    B's bits, bloom-MISS, and re-admit blindly; the committed-SET gate
+    must see the unseen epoch 3, refresh, and drop the duplicate."""
+    def _gap_engine():
+        return CDCApplyEngine(
+            spark,
+            table_path=str(tmp_path / "gapshared"),
+            checkpoint_path=str(tmp_path / "gapshared-ckpt"),
+            num_buckets=4,
+            compact_every=None,
+            novelty_filter=True,
+            novelty_buckets=1,  # every fingerprint shares one bloom bucket
+            novelty_bloom_bits=1 << 12,
+        )
+
+    a = _gap_engine()
+    # A commits 0, 5, then 7 — the epoch-7 admit reads the store while
+    # B's epoch-3 bits do NOT yet exist, and its trusted committed set
+    # {0,5} tops out at 5
+    a.apply_epoch(spark.createDataFrame([_ev("I", "u/a", 1, "alpha")], SCHEMA), 0)
+    a.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/e", 50, "echo", 5)], SCHEMA), 5
+    )
+    a.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/h", 70, "hotel", 7)], SCHEMA), 7
+    )
+    # B (second replayer, own process-local cache) fills gap epoch 3
+    b = _gap_engine()
+    st3 = b.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/g", 30, "gamma", 3)], SCHEMA), 3
+    )
+    assert st3.novelty_dropped == 0
+    # A admits epoch 6 with CONTENT IDENTICAL to B's epoch 3. Its
+    # trusted set {0,3,5} includes the gap epoch, but its max is still
+    # 5 — exactly where A's cache already stood
+    st6 = a.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/x", 60, "gamma", 6)], SCHEMA), 6
+    )
+    assert st6.novelty_dropped == 1, (
+        "stale bloom cache below an unchanged watermark re-admitted "
+        "another replayer's committed content"
+    )
+    assert _urls(a) == {"u/a", "u/e", "u/h", "u/g"}
+
+
+def test_all_deletes_epoch_exact_mode_observation_safe(spark, tmp_path):
+    """An all-deletes epoch has zero upserts; if AQE's empty-relation
+    propagation elides the observed subtree, the exact-mode counts must
+    default to 0 instead of failing the epoch (deterministic replay
+    would then wedge on it forever)."""
+    eng = _engine(spark, tmp_path, name="alldel")
+    # first epoch all-deletes (index write leaves only _SUCCESS)
+    st0 = eng.apply_epoch(
+        spark.createDataFrame([_ev("D", "u/a", 1), _ev("D", "u/b", 2)], SCHEMA), 0
+    )
+    assert (st0.events_seen, st0.novelty_dropped) == (2, 0)
+    # mid-stream all-deletes with committed history + blooms present
+    eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/c", 3, "gamma", 1)], SCHEMA), 1
+    )
+    st2 = eng.apply_epoch(
+        spark.createDataFrame([_ev("D", "u/c", 9, None, 2)], SCHEMA), 2
+    )
+    assert (st2.events_seen, st2.novelty_dropped) == (1, 0)
+    assert _urls(eng) == set()
+
+
 def test_rebuild_blooms_never_sheds_concurrent_fold_bits(spark, tmp_path):
     """rebuild_blooms must CAS-UNION, not overwrite: a blind overwrite
     racing an in-flight fold sheds that fold's bits, and under
@@ -902,6 +975,43 @@ def test_rebuild_blooms_never_sheds_concurrent_fold_bits(spark, tmp_path):
     bm, head = nf._decode(nf.store.read("fpb0"))
     assert head == 5, "rebuild must never regress a stored head"
     assert bm[7] & 8, "rebuild shed a concurrent fold's bits"
+
+
+def test_apply_without_filter_on_pinned_table_refuses(spark, tmp_path):
+    """A table whose novelty mode is pinned must refuse a plain apply:
+    committed-but-unindexed epochs are treated as bootstrap history by
+    later admits, so content committed past the filter re-admits forever
+    — silent permanent corruption of the dedup contract. The explicit
+    opt-out (novelty_filter='off') stays available for an operator who
+    means it."""
+    path, ckpt = str(tmp_path / "pin"), str(tmp_path / "pin-ckpt")
+    nv = CDCApplyEngine(
+        spark, table_path=path, checkpoint_path=ckpt, num_buckets=4,
+        compact_every=None, novelty_filter=True, novelty_buckets=2,
+        novelty_bloom_bits=1 << 12,
+    )
+    nv.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/a", 1, "alpha text")], SCHEMA), 0
+    )
+    plain = CDCApplyEngine(
+        spark, table_path=path, checkpoint_path=ckpt, num_buckets=4,
+        compact_every=None,
+    )
+    with pytest.raises(ValueError, match="pinned novelty mode"):
+        plain.apply_epoch(
+            spark.createDataFrame([_ev("I", "u/b", 2, "beta text", 1)], SCHEMA), 1
+        )
+    # the refusal happened before anything was written
+    assert set(nv.lake.epochs_applied()) == {0}
+    # explicit opt-out: the operator takes responsibility
+    opt_out = CDCApplyEngine(
+        spark, table_path=path, checkpoint_path=ckpt, num_buckets=4,
+        compact_every=None, novelty_filter="off",
+    )
+    st = opt_out.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/b", 2, "beta text", 1)], SCHEMA), 1
+    )
+    assert not st.skipped and st.events_seen == 1
 
 
 def test_novelty_enabled_on_existing_table_bootstraps(spark, tmp_path):
