@@ -42,7 +42,7 @@ import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,9 +129,17 @@ def read_quarantine_dirs(
         for group in groups.values()
     ]
     if not frames:
-        # callers pre-check for pending dirs; all-empty partitions still
-        # need a well-typed empty frame
-        frames = [spark.read.option("basePath", quarantine_dir).parquet(*dirs)]
+        # the engine only ever creates a quarantine partition BY writing
+        # rows into it, so epoch dirs with no parquet at all mean the
+        # files were removed externally. A schema-less Spark read here
+        # would raise an opaque AnalysisException ("unable to infer
+        # schema") — fail with the actual story instead.
+        raise FileNotFoundError(
+            f"quarantine partitions contain no parquet files: "
+            f"{sorted(dirs)} — the dead-letter table is append-only and "
+            f"every partition is written with rows; were the files "
+            f"deleted externally?"
+        )
     target = None
     for part in frames:
         target = (
@@ -192,6 +200,7 @@ class CDCApplyEngine:
         novelty_buckets: int = 16,
         novelty_bloom_bits: int = 1 << 20,
         novelty_max_bucket: int | None = None,
+        data_fs=None,
     ):
         """``in_batch_prededup``: add a key-hash pre-shuffle that dedups the
         batch BEFORE text extraction and the merge. Worth it for backfill /
@@ -249,8 +258,34 @@ class CDCApplyEngine:
         # `store` selects the commit-protocol storage backend (POSIX
         # rename/link/flock by default; ConditionalPutCommitStore for
         # object stores — see plans/commit_store.py)
+        # `data_fs` selects the DRIVER-side data-file IO backend (fsio.
+        # DataFS; local os by default, any pyarrow.fs.FileSystem for an
+        # object store). The quarantine/redrive surface (partition
+        # listing, _REDRIVEN markers, intent files) and the novelty
+        # index listings are still local-POSIX-only — refuse loudly
+        # rather than silently report an empty dead-letter table on a
+        # non-local deployment (the same silent-no-op failure the lake's
+        # own maintenance seam exists to prevent).
+        if data_fs is not None and getattr(data_fs, "pafs", None) is not None:
+            if quarantine:
+                raise NotImplementedError(
+                    "the quarantine/redrive surface does driver-side "
+                    "POSIX IO (partition listing, markers, intents) and "
+                    "would silently see an empty dead-letter table on a "
+                    "non-local data_fs — pass quarantine=False, or keep "
+                    "a POSIX-mounted table path"
+                )
+            if novelty_filter and novelty_filter != "off":
+                raise NotImplementedError(
+                    "the novelty index does driver-side POSIX listings "
+                    "and is not yet wired to a non-local data_fs"
+                )
         self.lake = LakeTable(
-            table_path, key_col=key_col, num_buckets=num_buckets, store=store
+            table_path,
+            key_col=key_col,
+            num_buckets=num_buckets,
+            store=store,
+            data_fs=data_fs,
         )
         self.ckpt = CheckpointStore(checkpoint_path)
         self.key_col = self.lake.key_col
@@ -268,10 +303,21 @@ class CDCApplyEngine:
         # Python worker pool in the apply hot path.
         self.text_extract = text_extract
         self.quarantine_dir = os.path.join(table_path, "_quarantine")
+        if novelty_filter not in (False, True, "exact", "minhash", "off"):
+            raise ValueError(f"unknown novelty_filter {novelty_filter!r}")
+        # "off" = explicit opt-out: ingest WITHOUT admission into a table
+        # whose novelty mode is pinned (see _assert_novelty_config) —
+        # an operator decision, never a default
+        self._novelty_opt_out = novelty_filter == "off"
+        if self._novelty_opt_out:
+            novelty_filter = False
         if novelty_filter and merge_mode != "mor":
             raise ValueError("novelty_filter requires merge_mode='mor'")
-        if novelty_filter not in (False, True, "exact", "minhash"):
-            raise ValueError(f"unknown novelty_filter {novelty_filter!r}")
+        # where NoveltyFilter's commit store pins the table's admission
+        # mode on first use (plans/novelty.py:_ensure_mode)
+        self._novelty_pin_path = os.path.join(
+            table_path, "_novelty", "blooms", "_mode"
+        )
         if novelty_filter:
             from data_migration_validation_spark.plans.novelty import NoveltyFilter
 
@@ -294,6 +340,33 @@ class CDCApplyEngine:
             self.registry.current = snap.schema
 
     # -- one epoch --------------------------------------------------------------
+
+    def _assert_novelty_config(self) -> None:
+        """Refuse to WRITE epochs without novelty admission into a table
+        whose novelty mode is pinned. An engine constructed without
+        ``novelty_filter`` (the default — every read-only consumer does
+        this) would otherwise commit content that bypasses admission:
+        the committed-but-unindexed epochs are treated as bootstrap
+        history by later admits, so identical content re-admits forever
+        — a permanent, silent corruption of the dedup contract. Checked
+        on every apply (one stat call; the pin can appear mid-stream
+        when another writer first enables the filter). Explicit opt-out:
+        ``novelty_filter="off"``."""
+        if self.novelty is not None or self._novelty_opt_out:
+            return
+        try:
+            with open(self._novelty_pin_path) as f:
+                pin = f.read().strip()
+        except (FileNotFoundError, NotADirectoryError):
+            return
+        raise ValueError(
+            f"table was ingested with a pinned novelty mode ({pin}); "
+            f"applying epochs without the filter would commit content "
+            f"that bypasses admission and permanently break the table's "
+            f"dedup contract — construct the engine with the matching "
+            f"novelty_filter (CLI: --novelty), or pass "
+            f"novelty_filter='off' to deliberately ingest without it"
+        )
 
     def _check_skip_origin(self, epoch: int, commit_summary: dict | None) -> None:
         """Guard the idempotent skip: the committed epoch's origin tag
@@ -352,6 +425,7 @@ class CDCApplyEngine:
         manifest; the retry re-stages under a fresh version and the
         orphan is reclaimable via ``LakeTable.cleanup_staged()``."""
         t0 = time.monotonic()
+        self._assert_novelty_config()
         if epoch in self.lake.epochs_applied():
             self._check_skip_origin(epoch, commit_summary)
             return ApplyStats(epoch=epoch, skipped=True)
@@ -1159,12 +1233,12 @@ class CDCApplyEngine:
                 (m["epoch"] == redrive_epoch) & (m["stage"] == "redrive")
             ].empty
         )
+        events_val = (
+            float(summary.get("applied_events") or 0)
+            if stats.skipped
+            else float(stats.events_seen)
+        )
         if not recorded:
-            events_val = (
-                float(summary.get("applied_events") or 0)
-                if stats.skipped
-                else float(stats.events_seen)
-            )
             self.ckpt.append_metrics(
                 [
                     {
@@ -1181,6 +1255,12 @@ class CDCApplyEngine:
                     },
                 ]
             )
+        if stats.skipped and stats.events_seen != int(events_val):
+            # crash-resume / converging-sibling skip: apply_epoch saw no
+            # events itself, but the committed epoch DID apply them —
+            # report that count, not 0, so a CLI/API consumer auditing
+            # the resume sees what the redrive actually re-admitted
+            stats = dc_replace(stats, events_seen=int(events_val))
         return stats
 
     def read_changes(

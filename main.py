@@ -126,7 +126,7 @@ def cmd_apply(args: argparse.Namespace) -> int:
             "buckets_touched": st.buckets_touched,
             "seconds": round(st.seconds, 3),
         }
-        if args.novelty:
+        if args.novelty and args.novelty != "off":
             out["novelty_dropped"] = st.novelty_dropped
         if st.rejected:
             out["rejected"] = True
@@ -395,10 +395,25 @@ def cmd_redrive(args: argparse.Namespace) -> int:
     from data_migration_validation_spark.plans.apply import CDCApplyEngine
 
     spark = _spark("dmv-redrive")
+    # adopt the table's pinned novelty mode: a redrive engine without
+    # the filter would commit re-admitted content that bypasses
+    # admission (never fingerprinted into the index/blooms), silently
+    # breaking the table's dedup contract — apply_epoch refuses that,
+    # so read the pin and configure to match
+    novelty_kw = {}
+    pin_path = os.path.join(args.table, "_novelty", "blooms", "_mode")
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            pin = json.load(f)
+        novelty_kw = {
+            "novelty_filter": pin["mode"],
+            "novelty_buckets": int(pin["n_buckets"]),
+        }
     engine = CDCApplyEngine(
         spark,
         table_path=args.table,
         checkpoint_path=args.checkpoint or tempfile.mkdtemp(prefix="dmv-redrive-ckpt-"),
+        **novelty_kw,
     )
 
     rewrites = []
@@ -499,6 +514,53 @@ def cmd_status(args: argparse.Namespace) -> int:
         "origin_epochs": snap.origin_epochs or {},
         "table": snap.table_props,
     }
+
+    # novelty-index health (tables ingested with --novelty): the pinned
+    # admission mode, per-bucket bloom coverage heads, the compacted-
+    # generation pointer, and how many per-epoch index partitions await
+    # the next fold — all driver-side file reads, still no Spark job
+    nroot = os.path.join(args.table, "_novelty")
+    if os.path.isdir(nroot):
+        import re as _re
+
+        nov: dict = {}
+        bdir = os.path.join(nroot, "blooms")
+        pin_p = os.path.join(bdir, "_mode")
+        if os.path.exists(pin_p):
+            with open(pin_p) as f:
+                nov["mode"] = json.load(f)
+        heads: list[int] = []
+        if os.path.isdir(bdir):
+            for fn in os.listdir(bdir):
+                if _re.fullmatch(r"fpb\d+", fn):
+                    with open(os.path.join(bdir, fn)) as f:
+                        head_s = f.read().split(":", 1)[0]
+                    try:
+                        heads.append(int(head_s))
+                    except ValueError:
+                        heads.append(-1)  # legacy bare-b64: coverage unknown
+        nov["bloom_buckets"] = len(heads)
+        if heads:
+            # min < max(epochs) means some bucket lags → its members pay
+            # the exact check; -1 means an untrusted (rebuild-pending) bloom
+            nov["bloom_head_min"] = min(heads)
+            nov["bloom_head_max"] = max(heads)
+        cp_p = os.path.join(bdir, "_compact")
+        if os.path.exists(cp_p):
+            with open(cp_p) as f:
+                c = json.load(f)
+            nov["compacted"] = {
+                "head": c.get("head"),
+                "folded_epochs": len(c.get("epochs") or []),
+                "generation": c.get("gen"),
+                "reclaim_pending": len(c.get("reclaim") or []),
+            }
+        idx = os.path.join(nroot, "index")
+        if os.path.isdir(idx):
+            nov["index_epoch_partitions"] = sum(
+                1 for d in os.listdir(idx) if d.startswith("epoch=")
+            )
+        out["novelty"] = nov
 
     qdir = os.path.join(args.table, "_quarantine")
     quarantined = 0
@@ -781,10 +843,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     a.add_argument(
         "--novelty",
-        action="store_true",
+        nargs="?",
+        const="exact",
+        default=False,
+        choices=["exact", "minhash", "off"],
         help="content-novelty filter: drop upserts whose extracted text "
         "was already ingested in an earlier epoch (bloom pre-pass + "
-        "fingerprint-index exact check; deletes pass through)",
+        "fingerprint-index exact check; deletes pass through). Bare "
+        "--novelty = exact; 'minhash' = near-duplicate admission; "
+        "'off' = explicit opt-out on a table whose novelty mode is "
+        "pinned (a plain apply on such a table refuses, because it "
+        "would commit content that bypasses admission)",
     )
     a.set_defaults(fn=cmd_apply)
 

@@ -110,3 +110,29 @@ def test_unknown_mtime_reads_as_young_not_ancient():
     assert now - 5 <= mt <= now + 5, "unknown mtime must read as age ~0"
     mt2 = fs.mtime("bucket/t/part-0.parquet")
     assert now - 5 <= mt2 <= now + 5
+
+
+def test_engine_refuses_nonlocal_data_fs_on_posix_only_surfaces(spark, tmp_path):
+    """The quarantine/redrive surface and the novelty index still do
+    driver-side POSIX IO; an engine handed a non-local data_fs must
+    refuse those combinations loudly instead of silently reporting an
+    empty dead-letter table (or an unindexed admit) on an object store."""
+    import pytest
+    from pyarrow import fs as pafs
+
+    nonlocal_fs = DataFS(pafs.LocalFileSystem())  # any pafs counts as non-local
+    kw = dict(
+        table_path=str(tmp_path / "ofs-t"),
+        checkpoint_path=str(tmp_path / "ofs-c"),
+        num_buckets=4,
+    )
+    with pytest.raises(NotImplementedError, match="quarantine"):
+        CDCApplyEngine(spark, data_fs=nonlocal_fs, **kw)
+    with pytest.raises(NotImplementedError, match="novelty"):
+        CDCApplyEngine(
+            spark, data_fs=nonlocal_fs, quarantine=False,
+            novelty_filter=True, **kw
+        )
+    # quarantine off + no novelty: allowed, and the lake adopts the fs
+    eng = CDCApplyEngine(spark, data_fs=nonlocal_fs, quarantine=False, **kw)
+    assert eng.lake.data_fs is nonlocal_fs

@@ -300,6 +300,58 @@ def test_status_cli_is_sparkless(spark, tmp_path, capsys):
     assert out["metrics_totals"]["applied_events"] == ck["events_applied"]
 
 
+def test_redrive_cli_adopts_pinned_novelty(spark, tmp_path, capsys):
+    """redrive on a novelty-pinned table must run admission: the CLI
+    reads the table's pinned mode and configures the engine to match.
+    A filterless redrive would commit content that bypasses the index
+    (never fingerprinted), and later admits would re-accept identical
+    content forever — so the engine refuses it, and the CLI must
+    therefore adopt, not crash."""
+    from pyspark.sql import functions as F
+
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+    from tests.test_novelty import SCHEMA as NSCHEMA, _ev
+
+    path, ckpt = str(tmp_path / "nvrd"), str(tmp_path / "nvrd-ckpt")
+    eng = CDCApplyEngine(
+        spark, table_path=path, checkpoint_path=ckpt, num_buckets=4,
+        compact_every=None, novelty_filter=True, novelty_buckets=2,
+        novelty_bloom_bits=1 << 12,
+    )
+    eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/a", 1, "alpha text")], NSCHEMA), 0
+    )
+    # dead-letter one event (mangled op), then redrive it via the CLI
+    bad = spark.createDataFrame(
+        [_ev("I", "u/b", 10, "beta text", 1)], NSCHEMA
+    ).withColumn("op", F.lit("IX"))
+    assert eng.apply_epoch(bad, 1).quarantined == 1
+    rc = _run(
+        ["redrive", "--table", path, "--checkpoint", ckpt,
+         "--epoch", "5", "--set", "op=regexp_replace(op, 'X$', '')"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["redriven_events"] == 1 and out["still_quarantined"] == 0
+    # the redriven content WAS fingerprinted: identical content in a
+    # later epoch drops (this also exercises the committed-set bloom
+    # refresh — eng's cache predates the CLI engine's fold)
+    st6 = eng.apply_epoch(
+        spark.createDataFrame([_ev("I", "u/c", 20, "beta text", 6)], NSCHEMA), 6
+    )
+    assert st6.novelty_dropped == 1
+
+    # status surfaces the novelty-index health sparklessly: the pinned
+    # mode, bloom coverage heads, and unfolded index partitions
+    assert _run(["status", "--table", path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    nov = out["novelty"]
+    assert nov["mode"]["mode"] == "exact"
+    assert nov["bloom_buckets"] == 2
+    assert nov["bloom_head_max"] >= 5  # the CLI redrive's fold advanced it
+    assert nov["index_epoch_partitions"] >= 3
+
+
 def test_redrive_cli(spark, tmp_path, capsys):
     """redrive CLI: dead-letter a deterministically op-mangled feed, then
     re-admit it with a declarative --set fix as a new epoch; the final

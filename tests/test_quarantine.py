@@ -132,3 +132,25 @@ def test_quarantine_off_null_key_fails_before_write(spark, tmp_path):
     with pytest.raises(ValueError, match="malformed"):
         eng.apply_epoch(ev, 0)
     assert eng.lake.epochs_applied() == set()  # nothing was written
+
+
+def test_externally_emptied_partition_fails_loud(spark, tmp_path):
+    """Quarantine partitions are only ever created WITH rows, so an epoch
+    dir holding no parquet means external deletion — reading it must
+    fail with the actual story, not Spark's opaque 'unable to infer
+    schema' AnalysisException."""
+    import glob
+    import os
+
+    eng = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "ext-t"),
+        checkpoint_path=str(tmp_path / "ext-c"),
+        num_buckets=8,
+    )
+    eng.apply_epoch(_bad_rows(spark, 0), 0)
+    part = os.path.join(eng.quarantine_dir, "epoch=0")
+    for f in glob.glob(os.path.join(part, "*.parquet")):
+        os.unlink(f)
+    with pytest.raises(FileNotFoundError, match="deleted externally"):
+        eng.read_quarantine()

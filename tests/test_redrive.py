@@ -155,6 +155,10 @@ def test_redrive_crash_before_markers_resumes_from_intent(spark, tmp_path):
     st = eng.redrive_quarantine(4, fix=_fix)
     assert st.skipped  # commit already landed; resume only finishes markers
     assert set(eng.lake.epochs_applied()) == epochs_before
+    # the resume's stats report what the committed epoch APPLIED (from
+    # its summary), not the resume run's own zero — a CLI/API consumer
+    # auditing the resume must not read "0 events redriven"
+    assert st.events_seen == 3
 
     # intent's sources marked; the post-intent arrival stays pending
     for e in (0, 1, 2):
