@@ -102,7 +102,13 @@ class DataFS:
 
         if self.pafs.get_file_info(path).type == pafs_mod.FileType.NotFound:
             return False
-        self.pafs.delete_file(path)
+        try:
+            self.pafs.delete_file(path)
+        except FileNotFoundError:
+            # check-then-delete race: another maintenance pass got it
+            # between get_file_info and here — same tolerance as the
+            # local branch (concurrent vacuum/expire is supported)
+            return False
         return True
 
     def remove_dir(self, path: str) -> None:

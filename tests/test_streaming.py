@@ -60,6 +60,53 @@ def test_stream_apply_matches_oracle(spark, tmp_path):
     assert report == {}, f"stream apply diverged: {report}"
 
 
+def test_stream_apply_with_novelty_drops_cross_batch_dups(spark, tmp_path):
+    """The streaming front-end composes with the ingest novelty filter:
+    batch_id-as-epoch drives the same admission gate as the batch
+    replay, so content already ingested by an earlier micro-batch is
+    dropped by a later one (deletes and novel content pass through)."""
+    import os
+
+    from tests.test_novelty import SCHEMA as NSCHEMA, _ev
+
+    log_dir = str(tmp_path / "nvlog")
+    os.makedirs(log_dir)
+    epochs = [
+        [_ev("I", "u/a", 1, "alpha text")],
+        [_ev("I", "u/b", 10, "alpha text", 1),  # cross-batch content dup
+         _ev("I", "u/c", 11, "beta text", 1)],
+    ]
+    for e, rows in enumerate(epochs):
+        staging = str(tmp_path / f"nvstage-{e}")
+        spark.createDataFrame(rows, NSCHEMA).coalesce(1).write.parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.rename(os.path.join(staging, part), f"{log_dir}/epoch-{e}.parquet")
+
+    engine = CDCApplyEngine(
+        spark,
+        table_path=str(tmp_path / "nvtable"),
+        checkpoint_path=str(tmp_path / "nvckpt"),
+        num_buckets=4,
+        compact_every=None,
+        novelty_filter=True,
+        novelty_buckets=2,
+        novelty_bloom_bits=1 << 12,
+    )
+    q = stream_apply(
+        spark,
+        log_dir,
+        engine,
+        schema=spark.createDataFrame([], NSCHEMA).schema,
+        checkpoint_location=str(tmp_path / "nvstream-ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    assert engine.lake.epochs_applied() == {0, 1}
+    urls = {r["url"] for r in engine.read_final().select("url").collect()}
+    assert urls == {"u/a", "u/c"}, "cross-batch duplicate content must drop"
+
+
 def test_stream_apply_maintains_rollup_exactly_once(spark, tmp_path):
     """stream_apply with a ContinuousRollup: the metrics table commits
     under the SAME batch_id-as-epoch key as the lake, so after the stream
