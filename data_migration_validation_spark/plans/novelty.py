@@ -1067,11 +1067,32 @@ class NoveltyFilter:
                 removed.append(e)
         return sorted(removed)
 
+    def _pinned_mode(self) -> str | None:
+        """The admission mode this index was created with (see
+        ``_ensure_mode``), or None if it was never used."""
+        import json
+
+        raw = self.store.read("_mode")
+        return json.loads(raw)["mode"] if raw else None
+
     def rebuild_blooms(self, spark: SparkSession, committed_epochs: set[int]) -> int:
         """Recompute every bloom from the committed index — the recovery
-        path if bloom storage is lost (safe to skip: lost blooms only
-        mean the next epochs exact-check everything)."""
-        idx = self._read_index(spark, committed_epochs)
+        path if bloom storage is lost, and the ONLY path that re-trusts
+        blooms after a geometry resize (a normal fold can only vouch for
+        its own epoch's bits, so it tags a replaced bitmap head=-1).
+        Safe to skip: lost/untrusted blooms only mean the next epochs
+        exact-check everything. Mode-aware: an exact index stores the
+        content fingerprint directly; a minhash index stores band rows,
+        whose bloom key is ``xxhash64(band_id, band_key)`` — the same
+        expression admit_neardup folds."""
+        if self._pinned_mode() == "minhash":
+            idx = self._read_index_neardup(spark, committed_epochs)
+            if idx is not None:
+                idx = idx.withColumn(
+                    FP_COL, F.xxhash64(F.col("band_id"), F.col("band_key"))
+                )
+        else:
+            idx = self._read_index(spark, committed_epochs)
         if idx is None:
             return 0
         # overwrite mode: exactly the committed index's bits, with the

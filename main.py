@@ -18,6 +18,8 @@ compact    fold delta files into base files (+ tombstone GC horizon)
 rebucket   change the table's bucket count (atomic full rewrite)
 expire     drop retained manifest history older than a version
 vacuum     driver-side orphan-file sweep (crash leftovers)
+rebuild-blooms  recompute novelty blooms from the committed index
+           (bloom-store loss recovery / geometry resize)
 lookup     point read of one key (manifest file skipping, no table scan)
 changes    change-data-feed between epoch-line points
 events     event-time range scan (manifest ts-bounds file skipping)
@@ -240,6 +242,48 @@ def cmd_vacuum(args: argparse.Namespace) -> int:
         )
         out["novelty_orphan_epochs_removed"] = orphans
     print(json.dumps({"command": "vacuum", **out}))
+    return 0
+
+
+def cmd_rebuild_blooms(args: argparse.Namespace) -> int:
+    """Recompute the novelty blooms from the committed index — the
+    recovery path after bloom-store loss, and the only way to re-trust
+    blooms after a geometry resize (normal folds tag a replaced bitmap
+    head=-1, untrusted until rebuilt). Adopts the table's pinned mode
+    and bucket count; ``--bloom-bits`` sets the (re)built geometry and
+    must match what appliers use (the CLI applier always uses the
+    engine default)."""
+    from data_migration_validation_spark.plans.lake import LakeTable
+    from data_migration_validation_spark.plans.novelty import NoveltyFilter
+
+    pin_path = os.path.join(args.table, "_novelty", "blooms", "_mode")
+    if not os.path.exists(pin_path):
+        raise SystemExit(
+            f"{args.table} has no novelty index (no pinned mode) — "
+            f"nothing to rebuild"
+        )
+    with open(pin_path) as f:
+        pin = json.load(f)
+    spark = _spark("dmv-rebuild-blooms")
+    lake = LakeTable(args.table)
+    nf = NoveltyFilter(
+        os.path.join(args.table, "_novelty"),
+        n_buckets=int(pin["n_buckets"]),
+        bloom_bits=args.bloom_bits,
+    )
+    committed = set(lake.epochs_applied())
+    n = nf.rebuild_blooms(spark, committed)
+    print(
+        json.dumps(
+            {
+                "command": "rebuild-blooms",
+                "mode": pin["mode"],
+                "buckets_rebuilt": n,
+                "bloom_bits": args.bloom_bits,
+                "head": max(committed) if committed else None,
+            }
+        )
+    )
     return 0
 
 
@@ -932,6 +976,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep unreferenced files younger than this (in-flight commit guard)",
     )
     vac.set_defaults(fn=cmd_vacuum)
+
+    rbl = sub.add_parser(
+        "rebuild-blooms",
+        help="recompute novelty blooms from the committed index "
+        "(bloom-store loss recovery / geometry resize)",
+    )
+    rbl.add_argument("--table", required=True)
+    rbl.add_argument(
+        "--bloom-bits",
+        type=int,
+        default=1 << 20,
+        dest="bloom_bits",
+        help="bits per bucket for the rebuilt blooms (must match what "
+        "appliers use; the CLI applier always uses this default)",
+    )
+    rbl.set_defaults(fn=cmd_rebuild_blooms)
 
     st = sub.add_parser(
         "status", help="table + checkpoint health (driver-side only, no Spark job)"

@@ -352,6 +352,55 @@ def test_redrive_cli_adopts_pinned_novelty(spark, tmp_path, capsys):
     assert nov["index_epoch_partitions"] >= 3
 
 
+def test_rebuild_blooms_cli(spark, tmp_path, capsys):
+    """Bloom-store loss recovery via the CLI, in both pinned modes: the
+    command adopts the table's pinned mode/bucket count, and the rebuilt
+    blooms claim the committed head (trusted again, per the status
+    view). Lost blooms were never a correctness hole (uncovered buckets
+    exact-check) — the rebuild restores the cheap pre-pass."""
+    import re
+
+    from data_migration_validation_spark.plans.apply import CDCApplyEngine
+    from tests.test_novelty import SCHEMA as NSCHEMA, _ev
+
+    for mode, flt in (("exact", True), ("minhash", "minhash")):
+        path = str(tmp_path / f"rb-{mode}")
+        eng = CDCApplyEngine(
+            spark, table_path=path,
+            checkpoint_path=str(tmp_path / f"rb-{mode}-c"),
+            num_buckets=4, compact_every=None, novelty_filter=flt,
+            novelty_buckets=2, novelty_bloom_bits=1 << 12,
+        )
+        eng.apply_epoch(
+            spark.createDataFrame([_ev("I", "u/a", 1, "alpha text")], NSCHEMA), 0
+        )
+        eng.apply_epoch(
+            spark.createDataFrame([_ev("I", "u/b", 10, "beta text", 1)], NSCHEMA), 1
+        )
+        bdir = os.path.join(path, "_novelty", "blooms")
+        for fn in os.listdir(bdir):  # lose the bloom store, keep the pin
+            if re.fullmatch(r"fpb\d+", fn):
+                os.unlink(os.path.join(bdir, fn))
+        rc = _run(["rebuild-blooms", "--table", path,
+                   "--bloom-bits", str(1 << 12)])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["mode"] == mode
+        assert out["buckets_rebuilt"] == 2 and out["head"] == 1
+        assert _run(["status", "--table", path]) == 0
+        sout = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert sout["novelty"]["bloom_head_min"] == 1
+        # admission still drops known content after the rebuild
+        st = eng.apply_epoch(
+            spark.createDataFrame([_ev("I", "u/c", 20, "beta text", 2)], NSCHEMA), 2
+        )
+        assert st.novelty_dropped == 1
+
+    # no novelty index → a clean usage error, not a stack trace
+    with pytest.raises(SystemExit, match="no novelty index"):
+        _run(["rebuild-blooms", "--table", str(tmp_path / "nope")])
+
+
 def test_redrive_cli(spark, tmp_path, capsys):
     """redrive CLI: dead-letter a deterministically op-mangled feed, then
     re-admit it with a declarative --set fix as a new epoch; the final
