@@ -29,12 +29,44 @@ from __future__ import annotations
 import base64
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StructField, StructType, StringType
 
 DIFF_SCHEMA_FIELDS = ["key", "column", "old_value", "new_value", "kind"]
+
+
+def _is_null(v) -> bool:
+    """Scalar null test that is safe on container values. Arrow hands
+    ``array<T>`` columns to pandas as ``np.ndarray`` cells, where
+    ``pd.isna`` returns an ELEMENTWISE array — truth-testing it raises —
+    so containers are never-null here (an absent array is ``None``)."""
+    if v is None or v is pd.NA:
+        return True
+    if isinstance(v, (bytes, bytearray, list, tuple, dict, np.ndarray)):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _eq(ov, nv) -> bool:
+    """Byte-exact scalar equality incl. container cells: bytes compare as
+    bytes; arrays/lists (embedding columns) compare element-for-element
+    with NaN != NaN (IEEE semantics — a NaN-poisoned vector must show up
+    as a mismatch, not silently pass)."""
+    if isinstance(ov, (bytes, bytearray)) and isinstance(nv, (bytes, bytearray)):
+        return bytes(ov) == bytes(nv)
+    if isinstance(ov, (np.ndarray, list, tuple)) or isinstance(nv, (np.ndarray, list, tuple)):
+        try:
+            a, b = np.asarray(ov), np.asarray(nv)
+        except Exception:
+            return ov == nv
+        return bool(a.shape == b.shape and np.array_equal(a, b))
+    return bool(ov == nv)
 
 
 def _render(col: F.Column, dtype) -> F.Column:
@@ -111,10 +143,12 @@ def cogroup_reconcile(
     out_schema = StructType([StructField(f, StringType(), True) for f in DIFF_SCHEMA_FIELDS])
 
     def render(v) -> str | None:
-        if v is None or v is pd.NA or (isinstance(v, float) and pd.isna(v)):
+        if _is_null(v):
             return None
         if isinstance(v, (bytes, bytearray)):
             return base64.b64encode(bytes(v)).decode("ascii")
+        if isinstance(v, np.ndarray):
+            return str(v.tolist())
         return str(v)
 
     def diff(kdf: pd.DataFrame, ndf: pd.DataFrame) -> pd.DataFrame:
@@ -131,15 +165,10 @@ def cogroup_reconcile(
             o_row, n_row = kdf.iloc[0], ndf.iloc[0]
             for c in columns:
                 ov, nv = o_row[c], n_row[c]
-                o_null = ov is None or (not isinstance(ov, (bytes, bytearray, list)) and pd.isna(ov))
-                n_null = nv is None or (not isinstance(nv, (bytes, bytearray, list)) and pd.isna(nv))
+                o_null, n_null = _is_null(ov), _is_null(nv)
                 if o_null and n_null:
                     continue
-                equal = (not o_null and not n_null) and (
-                    bytes(ov) == bytes(nv)
-                    if isinstance(ov, (bytes, bytearray))
-                    else ov == nv
-                )
+                equal = (not o_null and not n_null) and _eq(ov, nv)
                 if not equal:
                     rows.append((k, c, render(ov), render(nv), "mismatch"))
         return pd.DataFrame(rows, columns=DIFF_SCHEMA_FIELDS)

@@ -48,6 +48,41 @@ def test_incremental_scopes_out_untouched_buckets(spark, tmp_path):
     assert full.where(F.col("key") == "https://b/3").count() == 1
 
 
+def test_cogroup_handles_array_columns(spark):
+    """Embedding-style array<float> columns must reconcile, not crash:
+    Arrow hands array cells to pandas as np.ndarray, where pd.isna is
+    elementwise (truth-testing raises) and == is elementwise too. Equal
+    vectors pass, a differing vector is a mismatch, a NaN-poisoned
+    vector never equals anything (IEEE), and a NULL array on one side
+    only is a mismatch."""
+    old = spark.createDataFrame(
+        [
+            ("a", [1.0, 2.0]),
+            ("b", [1.0, 2.0]),
+            ("c", [float("nan"), 2.0]),
+            ("d", [1.0, 2.0]),
+        ],
+        "url string, emb array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", [1.0, 2.0]),
+            ("b", [1.0, 9.0]),
+            ("c", [float("nan"), 2.0]),
+            ("d", None),
+        ],
+        "url string, emb array<double>",
+    )
+    rows = {
+        r["key"]: (r["column"], r["kind"])
+        for r in cogroup_reconcile(old, new, key="url").collect()
+    }
+    assert "a" not in rows
+    assert rows["b"] == ("emb", "mismatch")
+    assert rows["c"] == ("emb", "mismatch")  # NaN != NaN by design
+    assert rows["d"] == ("emb", "mismatch")
+
+
 def test_incremental_falls_back_to_full_after_rebucket(spark, tmp_path):
     eng = _replay(spark, tmp_path, "ir3", [0, 1, 2])
     eng.lake.rebucket(spark, 16)
