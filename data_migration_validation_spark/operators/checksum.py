@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 # sentinel for NULL cells — concat_ws would silently drop them, making
 # NULL and empty-string rows collide into one digest. Safe against data
@@ -59,7 +60,21 @@ def chunk_checksums(
     chunk = key mod n_chunks (pmod: negative keys land in [0, n)); the
     checksum is the sum of each row digest's first 8 hex chars as a
     64-bit int — commutative, so no sort and no ordering assumptions.
+
+    ``key_col`` must be numeric (chunk ranges stay humanly mappable back
+    to key ranges). A string key would silently cast to NULL under pmod,
+    collapsing EVERY row into one null chunk and vacuously "proving" the
+    tables identical — refuse instead; chunk string keys (e.g. ``url``)
+    by hashing: ``df.withColumn("k", F.pmod(F.xxhash64("url"), N))``.
     """
+    kt = df.schema[key_col].dataType
+    if not isinstance(kt, NumericType):
+        raise ValueError(
+            f"chunk_checksums key {key_col!r} is {kt.simpleString()}, not "
+            "numeric — pmod would cast it to NULL and fold all rows into "
+            "one chunk; derive a numeric chunk key first (e.g. "
+            "pmod(xxhash64(key), n_chunks))"
+        )
     digest = _row_digest(cols)
     return (
         df.select(

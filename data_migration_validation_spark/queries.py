@@ -1617,9 +1617,14 @@ def _checksum_sql() -> str:
         for c in CHECKSUM_COLS
     )
     digest = f"CAST(('0x' || substr(md5({rendered}), 1, 8)) AS BIGINT)"
+    # CAST the sum back to BIGINT: DuckDB's sum(BIGINT) is HUGEINT
+    # (int128), which pandas-facing fetch paths promote to float64 —
+    # lossy past 2^53 and a spurious value-hash mismatch against
+    # Spark's exact long. int64 is safe here by construction (the
+    # 32-bit-prefix sum overflows only past ~2^31 rows per chunk).
     side = (
         f"SELECT c_custkey % {CHECKSUM_CHUNKS} AS chunk, count(*) AS n_rows, "
-        f"sum({digest}) AS checksum FROM {{snap}} GROUP BY 1"
+        f"CAST(sum({digest}) AS BIGINT) AS checksum FROM {{snap}} GROUP BY 1"
     )
     return f"""{SNAPSHOT_CTES}
 , o AS ({side.format(snap='old_snap')}),

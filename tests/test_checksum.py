@@ -72,6 +72,20 @@ def test_literal_null_sentinel_does_not_collide_with_null(spark):
     assert ca != cb
 
 
+def test_string_key_refused_loudly(spark):
+    """pmod on a string key silently casts to NULL, folding every row
+    into one null chunk — which "proves" any two tables identical. The
+    operator must refuse instead and point at the hash-derived fix."""
+    import pytest
+
+    df = spark.createDataFrame([("u1", "x")], "url string, name string")
+    with pytest.raises(ValueError, match="not\\s+numeric"):
+        chunk_checksums(df, "url", ["name"])
+    # and the documented fix works: hash-derived numeric chunk key
+    keyed = df.withColumn("k", F.pmod(F.xxhash64("url"), F.lit(8)))
+    assert chunk_checksums(keyed, "k", ["name"]).count() == 1
+
+
 def test_checksum_order_independent(spark):
     rows = [(i, f"n{i}", i) for i in range(50)]
     fwd = chunk_checksums(_df(spark, rows), "k", COLS, n_chunks=1).collect()[0]
