@@ -84,8 +84,8 @@ def test_compaction_folds_groups_result_unchanged(spark, tmp_path):
 
 def test_orphan_partial_is_invisible_until_committed(spark, tmp_path):
     """A crash between the parquet write and the manifest swap leaves an
-    orphan directory the reader never sees; retrying the epoch overwrites
-    it and commits normally."""
+    orphan directory the reader never sees; retrying the epoch commits a
+    fresh directory and the orphan stays unreferenced (vacuum's job)."""
     ev = _events(spark)
     path = str(tmp_path / "ru")
     r = ContinuousRollup(spark, path, SPEC)
@@ -93,7 +93,7 @@ def test_orphan_partial_is_invisible_until_committed(spark, tmp_path):
 
     # simulate the crash: partial written, manifest NOT updated
     r._partial(ev.where(F.col("epoch") == 1)).write.mode("overwrite").parquet(
-        os.path.join(path, "partials/epoch=1")
+        os.path.join(path, "partials/epoch=1-deadbeef")
     )
     assert r.epochs_applied() == {0}
     assert _merged(r) == _expected(ev.where(F.col("epoch") == 0))
@@ -101,3 +101,112 @@ def test_orphan_partial_is_invisible_until_committed(spark, tmp_path):
     # retry commits it
     assert r.apply_epoch(ev.where(F.col("epoch") == 1), 1) is True
     assert _merged(r) == _expected(ev.where(F.col("epoch") < 2))
+
+    # the crash orphan is invisible but on disk; vacuum reclaims it once
+    # it is old enough — and never touches referenced directories
+    assert r.vacuum(min_age_seconds=3600) == 0
+    assert r.vacuum(min_age_seconds=0) == 1
+    assert _merged(r) == _expected(ev.where(F.col("epoch") < 2))
+
+
+def test_concurrent_apply_and_compact_lose_nothing(spark, tmp_path):
+    """The lost-update race: writer A reads the manifest, writer B
+    commits, then A swaps. With a plain read-modify-write A's swap would
+    erase B's group; the CAS makes A lose, re-read, and retry — both
+    groups survive. Deterministic interleaving via a store-CAS hook."""
+    ev = _events(spark)
+    r = ContinuousRollup(spark, str(tmp_path / "ru"), SPEC)
+    r.apply_epoch(ev.where(F.col("epoch") == 0), 0)
+
+    sibling = ContinuousRollup(spark, str(tmp_path / "ru"), SPEC)
+    real_cas = r.store.cas
+    fired = {"n": 0}
+
+    def racing_cas(name, expected, new):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # another writer lands epoch 2 AFTER our manifest read,
+            # BEFORE our swap — the classic lost-update window
+            assert sibling.apply_epoch(ev.where(F.col("epoch") == 2), 2)
+        return real_cas(name, expected, new)
+
+    r.store.cas = racing_cas
+    try:
+        assert r.apply_epoch(ev.where(F.col("epoch") == 1), 1) is True
+    finally:
+        r.store.cas = real_cas
+    assert r.epochs_applied() == {0, 1, 2}
+    assert _merged(r) == _expected(ev)
+
+    # same window against compact(): an epoch landing mid-fold must not
+    # be erased by the folded base; compact retries over the new head
+    more = _events(spark).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    fired["n"] = 0
+
+    def racing_cas2(name, expected, new):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            assert sibling.apply_epoch(more.where(F.col("epoch") == 0), 3)
+        return real_cas(name, expected, new)
+
+    r.store.cas = racing_cas2
+    try:
+        assert r.compact() >= 3
+    finally:
+        r.store.cas = real_cas
+    assert r.epochs_applied() == {0, 1, 2, 3}
+    assert _merged(r) == {**_expected(ev), **_expected(more.where(F.col("epoch") == 0))}
+    # CAS losers cleaned up after themselves: nothing for vacuum
+    assert r.vacuum(min_age_seconds=0) == 0
+
+
+def test_same_epoch_race_single_commit(spark, tmp_path):
+    """Two repliers racing on the SAME epoch: exactly one wins, the loser
+    reports the no-op and removes its own unreferenced directory — no
+    double count, no orphan, and the winner's files are never touched."""
+    ev = _events(spark)
+    r = ContinuousRollup(spark, str(tmp_path / "ru"), SPEC)
+    sibling = ContinuousRollup(spark, str(tmp_path / "ru"), SPEC)
+
+    real_cas = r.store.cas
+    fired = {"n": 0}
+
+    def racing_cas(name, expected, new):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            assert sibling.apply_epoch(ev.where(F.col("epoch") == 0), 0)
+        return real_cas(name, expected, new)
+
+    r.store.cas = racing_cas
+    try:
+        assert r.apply_epoch(ev.where(F.col("epoch") == 0), 0) is False
+    finally:
+        r.store.cas = real_cas
+    assert r.epochs_applied() == {0}
+    assert r.n_groups() == 1
+    assert _merged(r) == _expected(ev.where(F.col("epoch") == 0))
+    assert r.vacuum(min_age_seconds=0) == 0
+
+
+def test_legacy_manifest_adopted(spark, tmp_path):
+    """A pre-CAS-era table (root manifest.json) reopens cleanly: its
+    groups are visible, and the first commit migrates the manifest into
+    the store without losing them."""
+    import json
+
+    ev = _events(spark)
+    path = str(tmp_path / "ru")
+    r = ContinuousRollup(spark, path, SPEC)
+    r._partial(ev.where(F.col("epoch") == 0)).write.parquet(
+        os.path.join(path, "partials/epoch=0")
+    )
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(
+            {"version": 1, "groups": [{"path": "partials/epoch=0", "epochs": [0]}]}, f
+        )
+
+    r2 = ContinuousRollup(spark, path, SPEC)
+    assert r2.epochs_applied() == {0}
+    assert r2.apply_epoch(ev.where(F.col("epoch") == 1), 1) is True
+    assert r2.epochs_applied() == {0, 1}
+    assert _merged(r2) == _expected(ev.where(F.col("epoch") < 2))
