@@ -109,6 +109,32 @@ def test_orphan_partial_is_invisible_until_committed(spark, tmp_path):
     assert _merged(r) == _expected(ev.where(F.col("epoch") < 2))
 
 
+def test_vacuum_reclaims_crash_orphan_base(spark, tmp_path):
+    """A crash between compact()'s base write and its manifest CAS
+    leaves an unreferenced ``base-*`` directory. Vacuum reclaims it
+    (age-guarded), and never touches the LIVE base a later successful
+    compact installed."""
+    ev = _events(spark)
+    path = str(tmp_path / "ru")
+    r = ContinuousRollup(spark, path, SPEC)
+    for e in range(3):
+        r.apply_epoch(ev.where(F.col("epoch") == e), e)
+
+    # simulate the crash: folded base written, manifest never swapped
+    r.read().write.mode("overwrite").parquet(os.path.join(path, "base-v9-dead"))
+    assert _merged(r) == _expected(ev)  # reader never sees it
+
+    # a real compact then installs a live base
+    assert r.compact() == 3
+    live = {g["path"] for g in r._manifest()["groups"]}
+    assert len(live) == 1 and next(iter(live)).startswith("base-")
+
+    assert r.vacuum(min_age_seconds=3600) == 0  # too young to touch
+    assert r.vacuum(min_age_seconds=0) == 1     # the crash orphan only
+    assert not os.path.isdir(os.path.join(path, "base-v9-dead"))
+    assert _merged(r) == _expected(ev)
+
+
 def test_concurrent_apply_and_compact_lose_nothing(spark, tmp_path):
     """The lost-update race: writer A reads the manifest, writer B
     commits, then A swaps. With a plain read-modify-write A's swap would
