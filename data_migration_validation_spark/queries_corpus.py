@@ -28,6 +28,7 @@ from data_migration_validation_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_prefix_pairs,
     simhash_pairs,
 )
 from data_migration_validation_spark.operators.similarity import (
@@ -1099,6 +1100,27 @@ def _assert_twin(a: DataFrame, b: DataFrame, label: str) -> None:
         raise AssertionError(f"{label}: twin plans differ on {n} rows")
 
 
+def dedup_ngram_jaccard_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for BOTH exact-Jaccard plans in one slot: the
+    blocked quadratic baseline AND the prefix-filtered subquadratic
+    join (AllPairs/PPJoin — operators/dedup.ngram_jaccard_prefix_pairs)
+    must emit identical (a, b, jaccard) rows, cross-checked in-plan;
+    the baseline's rows go to the shared oracle. The prefix variant is
+    the 100-TB path — no per-block cross join anywhere — and the twin
+    keeps it driver-verified without a second registry slot."""
+    quad = dedup_ngram_jaccard(spark, sf_dir)
+    pref = ngram_jaccard_prefix_pairs(
+        corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=JACCARD_T,
+        shingle_k=SHINGLE_K,
+        block_col="lang",
+    )
+    _assert_twin(quad, pref, "dedup_ngram_jaccard: quadratic vs prefix-filtered")
+    return quad
+
+
 def dedup_clusters_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry for BOTH connected-components algorithms in one
     slot: min-label propagation AND large-star/small-star must produce
@@ -1142,7 +1164,7 @@ CORPUS_REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_clusters": (dedup_clusters_both, DEDUP_CLUSTERS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
-    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard_both, DEDUP_JACCARD_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMB_COS_SQL),
     "text_profile": (text_profile, TEXT_PROFILE_SQL),
     "corpus_ngram_topk": (corpus_ngram_topk, CORPUS_NGRAM_SQL),
