@@ -479,8 +479,11 @@ def ngram_jaccard_prefix_pairs(
     saturates the corpus (the hot-block quadratic blow-up that forces
     ``max_block`` drops in the baseline simply does not arise; this
     variant needs no ``allow_unblocked`` opt-in and ``block_col=None``
-    is safe). Candidate pairs are distinct-ed BEFORE the verify join so
-    the fat shingle arrays travel once per pair.
+    is safe). The AllPairs length filter rides the candidate join
+    (jac ≥ t bounds the partner's set size to [t·n, n/t] — sizes outside
+    it cannot qualify, so they never reach the verify), and candidate
+    pairs are distinct-ed BEFORE the verify join so the fat shingle
+    arrays travel once per pair.
 
     ``threshold`` must be > 0: at t = 0 a qualifying pair may share no
     shingle at all, which no token join can surface (the quadratic
@@ -528,13 +531,21 @@ def ngram_jaccard_prefix_pairs(
         + F.lit(1)
     )
     pref = ordered.select(
-        "_blk", "_id", F.explode(F.slice("_sh", F.lit(1), plen)).alias("_t")
+        "_blk", "_id", "_n", F.explode(F.slice("_sh", F.lit(1), plen)).alias("_t")
     )
+    # length filter (AllPairs): jac ≥ t ⟹ |x∩y| ≥ ceil(t·|x|) ≤ |y|, both
+    # directions — prunes size-mismatched candidates before the distinct
+    # and the fat verify join. Same ε slack as the prefix ceil: a float
+    # overshoot may only ADMIT extra candidates, never drop a true pair.
+    t_lit = F.lit(float(threshold))
     cand = (
         pref.alias("l")
         .join(
             pref.alias("r"),
-            (F.col("l._t") == F.col("r._t")) & (F.col("l._blk") == F.col("r._blk")),
+            (F.col("l._t") == F.col("r._t"))
+            & (F.col("l._blk") == F.col("r._blk"))
+            & (F.col("r._n") >= t_lit * F.col("l._n") - F.lit(1e-9))
+            & (F.col("l._n") >= t_lit * F.col("r._n") - F.lit(1e-9)),
         )
         .where(F.col("l._id") < F.col("r._id"))
         .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
