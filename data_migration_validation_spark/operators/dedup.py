@@ -401,6 +401,10 @@ def ngram_jaccard_pairs(
     within a blocking column (e.g. lang) — the quadratic baseline the LSH
     path approximates. Output (a, b, jaccard) rounded to 6 dp.
 
+    Prefer :func:`ngram_jaccard_prefix_pairs` for anything beyond oracle
+    baselines: identical output (t > 0), subquadratic, no blocking
+    required.
+
     This is O(n²) WITHIN each block by construction. Guard rails:
 
     * ``block_col=None`` means ONE global block — a full cross join. That

@@ -31,22 +31,41 @@ def _assert_same(quad, pref):
 
 
 def _synth_corpus(spark, n_docs=80, vocab=14, seed=7):
-    """Small vocabulary forces heavy shingle overlap (many borderline
-    pairs either side of the threshold) and makes several shingles
-    corpus-saturating — the hot-token case frequency ordering exists
-    for. Includes short docs (1–2 tokens → whole-string shingle)."""
+    """Random base docs over a small vocabulary, plus seeded mutations of
+    earlier docs (append / replace / truncate / exact copy) so EVERY seed
+    produces pairs on both sides of every threshold — purely random draws
+    almost never share 3-token shingles, and an all-empty result only
+    proves both plans found nothing. Includes short docs (1–2 tokens →
+    whole-string shingle) and corpus-saturating hot shingles (the case
+    frequency ordering exists for)."""
     rng = np.random.default_rng(seed)
     words = [f"w{i}" for i in range(vocab)]
     rows = []
     for i in range(n_docs):
-        n = int(rng.integers(1, 12))
-        rows.append((i, " ".join(rng.choice(words, size=n)), f"b{int(rng.integers(0, 2))}"))
+        if i >= 10 and rng.random() < 0.5:
+            base = rows[int(rng.integers(0, len(rows)))][1].split()
+            kind = int(rng.integers(0, 4))
+            if kind == 0:  # append a token — high-but-<1 jaccard
+                base = base + [str(rng.choice(words))]
+            elif kind == 1 and len(base) > 1:  # replace one token
+                base[int(rng.integers(0, len(base)))] = str(rng.choice(words))
+            elif kind == 2 and len(base) > 2:  # truncate — length-filter edge
+                base = base[: int(rng.integers(1, len(base)))]
+            # kind 3: exact copy — jaccard 1.0
+            text = " ".join(base)
+        else:
+            n = int(rng.integers(1, 12))
+            text = " ".join(rng.choice(words, size=n))
+        rows.append((i, text, f"b{int(rng.integers(0, 2))}"))
     return spark.createDataFrame(rows, "doc_id int, text string, blk string")
 
 
-@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.6, 0.75, 1.0])
-def test_prefix_matches_quadratic_unblocked(spark, threshold):
-    df = _synth_corpus(spark)
+@pytest.mark.parametrize(
+    "threshold,seed",
+    [(0.3, 7), (0.5, 7), (0.6, 7), (0.75, 7), (1.0, 7), (0.4, 11), (0.66, 23)],
+)
+def test_prefix_matches_quadratic_unblocked(spark, threshold, seed):
+    df = _synth_corpus(spark, seed=seed)
     quad = ngram_jaccard_pairs(
         df, "doc_id", "text", threshold=threshold, shingle_k=3,
         allow_unblocked=True,
@@ -55,9 +74,9 @@ def test_prefix_matches_quadratic_unblocked(spark, threshold):
         df, "doc_id", "text", threshold=threshold, shingle_k=3
     )
     _assert_same(quad, pref)
-    # the synthetic corpus must actually exercise the match path
-    if threshold <= 0.5:
-        assert len(_rows(quad)) > 0
+    # mutation seeding guarantees the corpus exercises the match path
+    # (empty == empty would prove nothing)
+    assert len(_rows(quad)) > 0
 
 
 def test_prefix_matches_quadratic_blocked(spark, sf_dir):
