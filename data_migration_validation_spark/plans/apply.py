@@ -431,34 +431,8 @@ class CDCApplyEngine:
             return ApplyStats(epoch=epoch, skipped=True)
 
         key = self.key_col
-        # admission predicates, evaluated identically in the pre-scan and
-        # the merge plan (determinism contract):
-        # * valid — envelope sanity; a failing row cannot be applied
-        #   meaningfully and is routed to the quarantine table (or fails
-        #   the epoch when quarantine is off);
-        # * in-horizon — tombstone-GC retention gate: events at or before
-        #   the recorded horizon are contractually too late (their
-        #   tombstones may already be physically gone); admitting one
-        #   could resurrect a GC'd deleted key, so they are dropped.
-        valid = (
-            F.col(key).isNotNull()
-            & F.col("warc_ts").isNotNull()
-            & F.col("seq").isNotNull()
-            # op.isNotNull first: a bare isin(...) yields NULL (not
-            # False) for a NULL op under three-valued logic, and a NULL
-            # `valid` fails BOTH the quarantine branch (~valid is NULL)
-            # and the apply filter — the row would vanish from every
-            # path while still being counted as seen. Reachable via the
-            # Debezium parser, which maps unmapped ops to NULL.
-            & F.col("op").isNotNull()
-            & F.col("op").isin("I", "U", "D")
-        )
         horizon = self.lake.gc_horizon()
-        in_horizon = (
-            F.lit(True)
-            if horizon is None
-            else F.col("warc_ts") > F.to_timestamp(F.lit(horizon))
-        )
+        valid, in_horizon = self._admission_exprs(horizon)
         # 2. lineage pre-scan: per-bucket source offsets + event counts
         # from ONLY slim envelope columns — column pruning keeps the html
         # payload out of this job entirely (at a parquet source this is a
@@ -501,41 +475,7 @@ class CDCApplyEngine:
         n_events = sum(r["applied_events"] for r in lineage_rows)
 
         if n_quarantined:
-            # dead-letter write — only runs for epochs that actually have
-            # violations. Stage-then-rename instead of mode("overwrite")
-            # on the final dir: a crash mid-overwrite would leave a
-            # half-deleted epoch dir, and two replayers racing the same
-            # epoch could interleave each other's deletes and writes. The
-            # rename is atomic; a loser (dir already renamed in — the
-            # content is deterministic, so identical) discards its stage.
-            import shutil as _shutil
-            import uuid as _uuid
-
-            reason = (
-                F.when(F.col(key).isNull(), F.lit("null_key"))
-                .when(F.col("warc_ts").isNull(), F.lit("null_warc_ts"))
-                .when(F.col("seq").isNull(), F.lit("null_seq"))
-                .otherwise(F.lit("bad_op"))
-            )
-            staging = os.path.join(
-                self.quarantine_dir, f".tmp-epoch-{epoch}-{_uuid.uuid4().hex[:8]}"
-            )
-            (
-                events.where(~valid)
-                .withColumn("_reason", reason)
-                .write.mode("overwrite")
-                .parquet(staging)
-            )
-            final_dir = os.path.join(self.quarantine_dir, f"epoch={epoch}")
-            if os.path.isdir(final_dir):
-                # crash-replay: a complete previous write is equivalent
-                # (deterministic content) — keep it, drop the stage
-                _shutil.rmtree(staging)
-            else:
-                try:
-                    os.rename(staging, final_dir)
-                except OSError:
-                    _shutil.rmtree(staging)  # concurrent writer won
+            self._write_quarantine(events, epoch, valid)
         if self.quarantine and n_quarantined:
             events = events.where(valid)
         if horizon is not None:
@@ -912,6 +852,433 @@ class CDCApplyEngine:
             novelty_dropped=int(novelty_dropped),
         )
 
+    def apply_epoch_group(
+        self,
+        slices: dict[int, DataFrame],
+        commit_summary: dict | None = None,
+    ) -> list[ApplyStats]:
+        """Apply SEVERAL pending epochs in ONE shuffle and ONE atomic
+        snapshot commit — commit coalescing, the backlog-catch-up shape.
+
+        At 1e10-event scale the sequential replay's cost is
+        per-epoch-fixed-latency × epochs (lineage job + merge job +
+        commit metadata per epoch — BENCH.md's profiling shows the fixed
+        term dominating at realistic epoch sizes). A replayer that is
+        BEHIND the log does not need per-epoch snapshot granularity to
+        catch up: LWW by (warc_ts, seq) over the UNION of k epochs picks
+        exactly the winner that k sequential applies would leave, so the
+        group commits as one delta write. What is traded away, explicitly:
+
+        * snapshot granularity — time travel (``read_asof``) resolves to
+          GROUP boundaries inside the grouped range (mid-group epochs
+          have no published snapshot of their own);
+        * per-epoch audit gating — write-audit-publish judges an epoch's
+          files in isolation; a grouped stage cannot attribute a
+          violation to one epoch. ``replay(group_size=..., audit=...)``
+          therefore stays sequential;
+        * per-epoch novelty admission — first-seen ordering ACROSS the
+          grouped epochs is what the novelty index records; collapsing
+          them would mis-attribute first-seen epochs, so a novelty-
+          configured engine refuses the group path.
+
+        What is NOT traded away: exactly-once (the group's epochs are
+        recorded atomically in the one manifest — a crash commits none
+        or all; re-running skips wholly-applied groups and re-plans
+        partial overlaps), per-epoch lineage (the pre-scan aggregates
+        per (epoch, bucket), one lineage file per epoch as in sequential
+        replay), per-epoch quarantine attribution (invalid rows
+        dead-letter into their own ``epoch=K`` partition), and the
+        bucket-pinned single-shuffle merge plan.
+
+        Merge-on-read only: a CoW group would read and rewrite state
+        under the union's buckets — correct, but the group's write is
+        then O(table), defeating the point; use sequential CoW applies.
+
+        Returns one ApplyStats per input epoch (skipped=True for epochs
+        already applied; applied epochs carry their own events_seen /
+        quarantined, and ``seconds`` is the GROUP's wall time — the cost
+        is genuinely shared, there is no per-epoch attribution)."""
+        t0 = time.monotonic()
+        self._assert_novelty_config()
+        if self.novelty is not None:
+            raise ValueError(
+                "apply_epoch_group cannot run with a novelty filter: "
+                "admission is first-seen-per-epoch order-dependent across "
+                "epochs — replay sequentially (apply_epoch per epoch)"
+            )
+        if self.merge_mode != "mor":
+            raise ValueError(
+                "apply_epoch_group requires merge_mode='mor' — a CoW "
+                "group rewrites O(table) for the union's buckets; use "
+                "sequential apply_epoch in cow mode"
+            )
+
+        applied = self.lake.epochs_applied()
+        stats: dict[int, ApplyStats] = {}
+        pending: dict[int, DataFrame] = {}
+        for e in sorted(slices):
+            if e in applied:
+                self._check_skip_origin(e, commit_summary)
+                stats[e] = ApplyStats(epoch=e, skipped=True)
+            else:
+                pending[int(e)] = slices[e]
+        if not pending:
+            return [stats[e] for e in sorted(stats)]
+        if len(pending) == 1:
+            e, df = next(iter(pending.items()))
+            stats[e] = self.apply_epoch(df, e, commit_summary=commit_summary)
+            return [stats[e] for e in sorted(stats)]
+
+        key = self.key_col
+        horizon = self.lake.gc_horizon()
+        valid, in_horizon = self._admission_exprs(horizon)
+        group = sorted(pending)
+
+        # grouped lineage pre-scan: ONE job over the union of the slim
+        # envelope columns (epoch-tagged), aggregated per (epoch, bucket)
+        # — same column pruning as the sequential path (html never flows
+        # through this job), k× fewer jobs. Sentinel buckets: -1 invalid,
+        # -2 past-horizon, folded into the same aggregation.
+        bucket_assign = (
+            F.when(~valid, F.lit(-1))
+            .when(~in_horizon, F.lit(-2))
+            .otherwise(bucket_expr(F.col(key), self.lake.num_buckets))
+        )
+        slim = None
+        for e in group:
+            s = (
+                pending[e]
+                .select(key, "seq", "op", "warc_ts")
+                .withColumn("_epoch", F.lit(int(e)))
+            )
+            slim = s if slim is None else slim.unionByName(s)
+        scan_rows = (
+            slim.withColumn(BUCKET_COL, bucket_assign)
+            .groupBy("_epoch", BUCKET_COL)
+            .agg(
+                F.min("seq").alias("source_offset_start"),
+                F.max("seq").alias("source_offset_end"),
+                F.count("*").alias("applied_events"),
+            )
+            .collect()
+        )
+        by_epoch: dict[int, dict] = {
+            e: {"quarantined": 0, "late": 0, "lineage": []} for e in group
+        }
+        for r in scan_rows:
+            acc = by_epoch[int(r["_epoch"])]
+            if r[BUCKET_COL] == -1:
+                acc["quarantined"] += r["applied_events"]
+            elif r[BUCKET_COL] == -2:
+                acc["late"] += r["applied_events"]
+            else:
+                acc["lineage"].append(r)
+        n_quarantined = sum(a["quarantined"] for a in by_epoch.values())
+        if n_quarantined and not self.quarantine:
+            bad = {e: a["quarantined"] for e, a in by_epoch.items() if a["quarantined"]}
+            raise ValueError(
+                f"epoch group {group}: malformed event(s) {bad} (null "
+                f"key/warc_ts/seq or unknown op) and quarantine is "
+                f"disabled — nothing was written; fix the feed or enable "
+                f"quarantine to dead-letter them"
+            )
+        for e in group:
+            if by_epoch[e]["quarantined"]:
+                # per-epoch dead-letter partitions: attribution survives
+                # grouping (each epoch=K dir holds only its own rows)
+                self._write_quarantine(pending[e], e, valid)
+
+        touched = {
+            int(r[BUCKET_COL]) for a in by_epoch.values() for r in a["lineage"]
+        }
+        n_events = sum(
+            int(r["applied_events"]) for a in by_epoch.values() for r in a["lineage"]
+        )
+
+        # merge input: per-epoch flatten under each slice's OWN payload
+        # schema, then widen to the group's schema lattice before the
+        # union — mid-group schema evolution (new columns, type widening)
+        # unions exactly as the lake serves old data files (conform),
+        # where a raw unionByName would fail on a widened type.
+        flats = []
+        for e in group:
+            ev = pending[e].where(valid)
+            if horizon is not None:
+                ev = ev.where(in_horizon)
+            flats.append(
+                ev.select(
+                    key,
+                    "warc_ts",
+                    "seq",
+                    (F.col("op") == "D").alias("deleted"),
+                    F.col("payload.*"),
+                )
+            )
+        lattice = flats[0].schema
+        for f in flats[1:]:
+            lattice = merge_schemas(lattice, f.schema)
+        # teach the registry each epoch's WINNER-shaped schema in epoch
+        # order (flat + the post-extraction columns), exactly as k
+        # sequential applies would — so the committed column ORDER is
+        # independent of whether a stretch of the log was replayed
+        # sequentially or grouped
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        for f in flats:
+            fields = list(f.schema.fields)
+            if "html" in f.schema.fieldNames():
+                fields.append(StructField("text", StringType()))
+                if self.enrich_text:
+                    fields += [
+                        StructField("lang_guess", StringType()),
+                        StructField("quality", DoubleType()),
+                        StructField("fingerprint", LongType()),
+                    ]
+            self.registry.merge(StructType(fields))
+        src = None
+        for f in flats:
+            c = conform(f, lattice)
+            src = c if src is None else src.unionByName(c)
+        has_html = "html" in src.columns
+
+        # the mor merge, unchanged from apply_epoch: LWW winner per key
+        # across the WHOLE group in one bucket-keyed window (LWW over a
+        # union ≡ sequential per-epoch LWW — max by (warc_ts, seq) is
+        # associative), shuffle pinned at the bucket count, extraction
+        # on winners only, delta volume ∝ group size.
+        if self.use_pandas_lww:
+            src = lww_apply_in_pandas(
+                src, key=key, order=("warc_ts", "seq"), n_salts=self.n_salts
+            )
+        src = src.withColumn(BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets))
+        winners = lww_window_bucketed(
+            src,
+            key=key,
+            order=("warc_ts", "seq"),
+            bucket_col=BUCKET_COL,
+            num_partitions=self.lake.num_buckets,
+        )
+        if has_html:
+            winners = winners.withColumn("text", self._extract(F.col("html")))
+            winners = self._enrich(winners)
+        target = self.registry.merge(winners.drop(BUCKET_COL).schema)
+        merged = conform(winners, target).withColumn(
+            BUCKET_COL, bucket_expr(F.col(key), self.lake.num_buckets)
+        )
+
+        summary = {
+            **(commit_summary or {}),
+            "applied_events": n_events,
+            "applied_events_by_epoch": {
+                str(e): sum(int(r["applied_events"]) for r in by_epoch[e]["lineage"])
+                for e in group
+            },
+        }
+        committed, rows_written = True, 0
+        for attempt in range(3):
+            try:
+                committed, rows_written = self.lake.commit(
+                    new_bucket_data=merged,
+                    touched_buckets=touched,
+                    epoch=group,
+                    schema=target,
+                    summary=summary,
+                    mode="delta",
+                )
+                break
+            except CommitConflictError:
+                won = set(group) & self.lake.epochs_applied()
+                if won == set(group):
+                    committed, rows_written = False, 0
+                    break
+                if won:
+                    # another writer (a sequential replayer) committed a
+                    # SUBSET of this group mid-flight — the group's merge
+                    # plan includes those epochs' events, so committing
+                    # the remainder as-is would re-write their content
+                    # under wrong attribution. Idempotent: re-call and
+                    # the pending filter re-plans without them.
+                    raise RuntimeError(
+                        f"epoch group {group}: epochs {sorted(won)} were "
+                        f"committed by another writer mid-group — re-call "
+                        f"apply_epoch_group to re-plan without them"
+                    ) from None
+                cur_h = self.lake.gc_horizon()
+                if cur_h != horizon:
+                    # same staleness rule as apply_epoch: the admission
+                    # filter baked the gc horizon in as a literal
+                    raise RuntimeError(
+                        f"epoch group {group}: gc horizon advanced from "
+                        f"{horizon!r} to {cur_h!r} while this apply was in "
+                        f"flight — re-apply the group to re-plan against "
+                        f"the new horizon"
+                    ) from None
+                if attempt == 2:
+                    raise
+
+        commit_ts = time.time()
+        dt = time.monotonic() - t0
+        if committed:
+            for e in group:
+                self.ckpt.append_lineage(
+                    [
+                        {
+                            "epoch": e,
+                            "partition": int(r[BUCKET_COL]),
+                            "source_offset_start": int(r["source_offset_start"]),
+                            "source_offset_end": int(r["source_offset_end"]),
+                            "applied_events": int(r["applied_events"]),
+                            "commit_ts": commit_ts,
+                        }
+                        for r in by_epoch[e]["lineage"]
+                    ]
+                )
+                e_events = sum(
+                    int(r["applied_events"]) for r in by_epoch[e]["lineage"]
+                )
+                metrics = [
+                    {"epoch": e, "stage": "apply", "metric": "applied_events", "value": float(e_events)},
+                    {"epoch": e, "stage": "apply", "metric": "buckets_touched", "value": float(len(by_epoch[e]["lineage"]))},
+                ]
+                if by_epoch[e]["quarantined"]:
+                    metrics.append(
+                        {"epoch": e, "stage": "apply", "metric": "quarantined_events", "value": float(by_epoch[e]["quarantined"])}
+                    )
+                if by_epoch[e]["late"]:
+                    metrics.append(
+                        {"epoch": e, "stage": "apply", "metric": "late_dropped_events", "value": float(by_epoch[e]["late"])}
+                    )
+                self.ckpt.append_metrics(metrics)
+            # group-level: wall time and written rows are genuinely
+            # shared across the group — recorded once under the group's
+            # max epoch, never split by a fictitious attribution
+            gm = [
+                {"epoch": group[-1], "stage": "apply_group", "metric": "group_epochs", "value": float(len(group))},
+                {"epoch": group[-1], "stage": "apply_group", "metric": "seconds", "value": dt},
+                {"epoch": group[-1], "stage": "apply_group", "metric": "applied_events", "value": float(n_events)},
+            ]
+            if rows_written is not None:
+                gm.append(
+                    {"epoch": group[-1], "stage": "apply_group", "metric": f"rows_written_{self.merge_mode}", "value": float(rows_written)}
+                )
+            self.ckpt.append_metrics(gm)
+        else:
+            # conflict resolved to "another writer applied the whole
+            # group" — converged iff the same KIND of writer did
+            for e in group:
+                self._check_skip_origin(e, commit_summary)
+        self.ckpt.write_epoch(group[-1])
+
+        if (
+            committed
+            and self.compact_every
+            and self.lake.current_snapshot().delta_depth() >= self.compact_every
+        ):
+            n_compacted = self.lake.compact(self.spark)
+            if n_compacted:
+                self.ckpt.append_metrics(
+                    [
+                        {
+                            "epoch": group[-1],
+                            "stage": "compact",
+                            "metric": "compacted_buckets",
+                            "value": float(n_compacted),
+                        }
+                    ]
+                )
+
+        for e in group:
+            e_events = sum(int(r["applied_events"]) for r in by_epoch[e]["lineage"])
+            stats[e] = ApplyStats(
+                epoch=e,
+                skipped=not committed,
+                events_seen=e_events,
+                # per-epoch write attribution does not exist in a group
+                # commit — None is "unknown", the group metric has the total
+                rows_written=None,
+                buckets_touched=len(by_epoch[e]["lineage"]),
+                seconds=dt,
+                quarantined=int(by_epoch[e]["quarantined"]),
+            )
+        return [stats[e] for e in sorted(stats)]
+
+    def _admission_exprs(self, horizon: str | None):
+        """The two admission predicates, shared by the single-epoch and
+        group apply paths (evaluated identically in the lineage pre-scan
+        and the merge plan — the determinism contract):
+
+        * ``valid`` — envelope sanity; a failing row cannot be applied
+          meaningfully and is routed to the quarantine table (or fails
+          the epoch when quarantine is off). op.isNotNull first: a bare
+          isin(...) yields NULL (not False) for a NULL op under
+          three-valued logic, and a NULL ``valid`` fails BOTH the
+          quarantine branch (~valid is NULL) and the apply filter — the
+          row would vanish from every path while still being counted as
+          seen. Reachable via the Debezium parser, which maps unmapped
+          ops to NULL.
+        * ``in_horizon`` — tombstone-GC retention gate: events at or
+          before the recorded horizon are contractually too late (their
+          tombstones may already be physically gone); admitting one
+          could resurrect a GC'd deleted key, so they are dropped."""
+        key = self.key_col
+        valid = (
+            F.col(key).isNotNull()
+            & F.col("warc_ts").isNotNull()
+            & F.col("seq").isNotNull()
+            & F.col("op").isNotNull()
+            & F.col("op").isin("I", "U", "D")
+        )
+        in_horizon = (
+            F.lit(True)
+            if horizon is None
+            else F.col("warc_ts") > F.to_timestamp(F.lit(horizon))
+        )
+        return valid, in_horizon
+
+    def _write_quarantine(self, events: DataFrame, epoch: int, valid) -> None:
+        """Dead-letter write of one epoch's invalid rows — only called for
+        epochs that actually have violations. Stage-then-rename instead of
+        mode("overwrite") on the final dir: a crash mid-overwrite would
+        leave a half-deleted epoch dir, and two replayers racing the same
+        epoch could interleave each other's deletes and writes. The rename
+        is atomic; a loser (dir already renamed in — the content is
+        deterministic, so identical) discards its stage."""
+        import shutil as _shutil
+        import uuid as _uuid
+
+        key = self.key_col
+        reason = (
+            F.when(F.col(key).isNull(), F.lit("null_key"))
+            .when(F.col("warc_ts").isNull(), F.lit("null_warc_ts"))
+            .when(F.col("seq").isNull(), F.lit("null_seq"))
+            .otherwise(F.lit("bad_op"))
+        )
+        staging = os.path.join(
+            self.quarantine_dir, f".tmp-epoch-{epoch}-{_uuid.uuid4().hex[:8]}"
+        )
+        (
+            events.where(~valid)
+            .withColumn("_reason", reason)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        final_dir = os.path.join(self.quarantine_dir, f"epoch={epoch}")
+        if os.path.isdir(final_dir):
+            # crash-replay: a complete previous write is equivalent
+            # (deterministic content) — keep it, drop the stage
+            _shutil.rmtree(staging)
+        else:
+            try:
+                os.rename(staging, final_dir)
+            except OSError:
+                _shutil.rmtree(staging)  # concurrent writer won
+
     def _attach_inline_audit(self, df, audit):
         """Inline write-audit-publish: attach the audit's aggregate
         expressions to the merge plan via DataFrame.observe, so the
@@ -950,14 +1317,39 @@ class CDCApplyEngine:
     # -- full replay --------------------------------------------------------------
 
     def replay(
-        self, slices: dict[int, DataFrame], resume: bool = True, audit=None
+        self,
+        slices: dict[int, DataFrame],
+        resume: bool = True,
+        audit=None,
+        group_size: int = 1,
     ) -> list[ApplyStats]:
         """Apply epoch slices in epoch order; with resume=True, epochs at or
         below the checkpoint are still offered to apply_epoch, whose lake
         guard skips them (the lake, not the checkpoint, is truth).
         ``audit`` enables write-audit-publish per epoch; a rejected epoch
         STOPS the replay (later epochs must not commit on top of a hole
-        in the epoch line) — its stats entry carries the violations."""
+        in the epoch line) — its stats entry carries the violations.
+
+        ``group_size > 1`` batches consecutive epochs through
+        :meth:`apply_epoch_group` (one shuffle + one atomic snapshot per
+        group — the backlog-catch-up path; see its docstring for the
+        granularity trade). Grouping silently degrades to sequential
+        when a per-epoch gate is configured — ``audit`` (the WAP gate
+        judges epochs in isolation), a novelty filter (admission is
+        first-seen-per-epoch), or cow mode (a grouped rewrite is
+        O(table)) — so ``group_size`` is always safe to pass."""
+        if (
+            group_size > 1
+            and audit is None
+            and self.novelty is None
+            and self.merge_mode == "mor"
+        ):
+            epochs = sorted(slices)
+            stats = []
+            for i in range(0, len(epochs), group_size):
+                chunk = {e: slices[e] for e in epochs[i : i + group_size]}
+                stats.extend(self.apply_epoch_group(chunk))
+            return stats
         stats = []
         for epoch in sorted(slices):
             st = self.apply_epoch(slices[epoch], epoch, audit=audit)

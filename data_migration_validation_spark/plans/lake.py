@@ -96,15 +96,15 @@ def _expand_ranges(ranges) -> list[int]:
 
 
 def _fold_origin(
-    prev_origins: dict | None, epoch: int | None, summary: dict | None
+    prev_origins: dict | None, epochs: list[int], summary: dict | None
 ) -> dict:
     """Carry forward the per-origin condensed epoch ranges, folding in
-    this commit's epoch when its summary carries an ``origin`` tag."""
+    this commit's epoch(s) when its summary carries an ``origin`` tag."""
     out = {k: [list(r) for r in v] for k, v in (prev_origins or {}).items()}
     origin = (summary or {}).get("origin")
-    if epoch is not None and origin:
+    if epochs and origin:
         out[str(origin)] = _condense_ranges(
-            _expand_ranges(out.get(str(origin), [])) + [int(epoch)]
+            _expand_ranges(out.get(str(origin), [])) + [int(e) for e in epochs]
         )
     return out
 
@@ -571,7 +571,9 @@ class LakeTable:
         first; no data files touched."""
         for v in sorted(self.versions(), reverse=True):
             s = self._manifest_raw(v).get("summary") or {}
-            if s.get("epoch") == epoch:
+            se = s.get("epoch")
+            # group commits record a LIST of epochs; membership counts
+            if se == epoch or (isinstance(se, list) and epoch in se):
                 return s
         return None
 
@@ -845,7 +847,7 @@ class LakeTable:
         self,
         new_bucket_data: DataFrame,
         touched_buckets: set[int],
-        epoch: int | None,
+        epoch: int | list[int] | None,
         schema: StructType,
         summary: dict | None = None,
         mode: str = "rewrite",
@@ -878,6 +880,15 @@ class LakeTable:
         ``epoch=None`` marks a maintenance commit (compaction): no epoch
         is recorded and the idempotency guard is skipped.
 
+        ``epoch=[e1, e2, ...]`` is a GROUP commit (commit coalescing for
+        backlog replay): all epochs are recorded atomically in this ONE
+        snapshot — a reader sees none or all of them, and the manifest's
+        ``summary["epoch"]`` carries the list. The caller must have
+        filtered already-applied epochs out first: a group wholly applied
+        returns ``(False, 0)`` (idempotent skip), but a PARTIAL overlap
+        raises — committing the remainder would re-write content of the
+        overlapped epochs with wrong attribution, so the caller re-plans.
+
         Returns ``(committed, rows_written)``; rows come from the written
         files' parquet footers (driver-side metadata — no counting job),
         or ``None`` when footers are unreadable (unknown, not a count).
@@ -888,10 +899,26 @@ class LakeTable:
         """
         if mode not in ("rewrite", "delta"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        # normalize: scalar epoch → 1-element group; None → maintenance
+        epochs = (
+            []
+            if epoch is None
+            else sorted({int(e) for e in epoch})
+            if isinstance(epoch, (list, tuple, set))
+            else [int(epoch)]
+        )
         prev = self.current_snapshot()
         applied = set(prev.epochs) if prev else set()
-        if epoch is not None and epoch in applied:
+        overlap = set(epochs) & applied
+        if epochs and overlap == set(epochs):
             return False, 0
+        if overlap:
+            raise ValueError(
+                f"group commit epochs {sorted(overlap)} of {epochs} are "
+                f"already applied — a partial group cannot commit as-is "
+                f"(its merged content includes the overlapped epochs' "
+                f"events); drop them from the group and re-plan"
+            )
 
         version = self._next_version()
         commit_dir = os.path.join(self.data_dir, f"commit-{version}-{uuid.uuid4().hex[:8]}")
@@ -1105,14 +1132,12 @@ class LakeTable:
             # condensed ranges: O(1) in history length, not O(epochs) —
             # a flat list would make every manifest (and every commit)
             # grow with the table's entire epoch history
-            "epoch_ranges": _condense_ranges(
-                (applied | {epoch}) if epoch is not None else applied
-            ),
+            "epoch_ranges": _condense_ranges(applied | set(epochs)),
             # origin-tagged epochs, carried forward and condensed like
             # epoch_ranges (tagged commits — redrives — are rare, so this
             # stays O(1); see Snapshot.origin_epochs)
             "origin_epochs": _fold_origin(
-                (prev.origin_epochs if prev else None), epoch, summary
+                (prev.origin_epochs if prev else None), epochs, summary
             ),
             "schema": schema.json(),
             "bucket_manifests": bucket_manifests,
@@ -1122,7 +1147,16 @@ class LakeTable:
             "added_manifests": added_manifests,
             "summary": {
                 **(summary or {}),
-                "epoch": epoch,
+                # scalar for a single-epoch commit (the dominant case and
+                # the legacy shape), list for a group commit, None for
+                # maintenance — epoch_summary() matches all three
+                "epoch": (
+                    None
+                    if not epochs
+                    else epochs[0]
+                    if len(epochs) == 1
+                    else epochs
+                ),
                 # recorded for incremental consumers (change-data-feed /
                 # incremental reconcile): which buckets this commit's rows
                 # landed in — manifest-only, no data read needed later
