@@ -109,6 +109,10 @@ def main() -> None:
     )
 
     samples: dict[str, list[float]] = {}
+    # group-commit replay samples — kept OUT of `samples`/`queries` so the
+    # headline suite total stays comparable across rounds (the grouped
+    # replay is an alternative path over the same work, not a new unit)
+    grouped_samples: list[float] = []
 
     def run(name: str, fn) -> None:
         t0 = time.monotonic()
@@ -157,6 +161,28 @@ def main() -> None:
                 engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
             shutil.rmtree(work, ignore_errors=True)
 
+        def cdc_apply_grouped_once(run_id: int) -> None:
+            # the SAME replay through the group-commit path (one shuffle +
+            # one atomic snapshot for all pending epochs — the backlog
+            # catch-up shape). Reported SEPARATELY from cdc_apply: the
+            # headline metric keeps per-epoch snapshot granularity; this
+            # one measures what a behind-the-log replayer actually pays.
+            work = f"{tmp}/grun{run_id}"
+            engine = CDCApplyEngine(
+                spark,
+                table_path=f"{work}/table",
+                checkpoint_path=f"{work}/ckpt",
+                num_buckets=CPUS * 2,
+            )
+            engine.replay(
+                {
+                    e: log.where(F.col("batch_epoch") == e)
+                    for e in range(cfg.n_epochs)
+                },
+                group_size=cfg.n_epochs,
+            )
+            shutil.rmtree(work, ignore_errors=True)
+
         # -- interleaved rounds: every unit once per round, min over rounds --
         declarative = [
             "lww_events",
@@ -176,6 +202,9 @@ def main() -> None:
 
             run("cdc_final_state", lambda: cdc_final_state(spark, SF_DIR).count())
             run("cdc_apply", lambda rnd=rnd: cdc_apply_once(rnd))
+            t0 = time.monotonic()
+            cdc_apply_grouped_once(rnd)
+            grouped_samples.append(round(time.monotonic() - t0, 3))
 
         # -- streaming front-end: per-micro-batch latency ------------------
         # The same binlog driven through stream_apply (readStream →
@@ -203,6 +232,14 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cdc_events_applied": events_applied,
                 "cdc_events_applied_per_sec": round(events_applied / max(cdc_secs, 1e-9), 1),
+                "cdc_apply_grouped": {
+                    "seconds": min(grouped_samples),
+                    "samples": grouped_samples,
+                    "group_size": cfg.n_epochs,
+                    "events_per_sec": round(
+                        events_applied / max(min(grouped_samples), 1e-9), 1
+                    ),
+                },
                 "streaming": streaming,
                 "cpus": CPUS,
             }

@@ -114,12 +114,14 @@ def cmd_apply(args: argparse.Namespace) -> int:
             ),
             inline=args.audit_inline,
         )
-    for epoch in range(int(lo), int(hi) + 1):
-        if epoch < start:
-            continue
-        st = engine.apply_epoch(
-            log.where(F.col("batch_epoch") == epoch), epoch, audit=audit
-        )
+    epochs = [e for e in range(int(lo), int(hi) + 1) if e >= start]
+    slices = {e: log.where(F.col("batch_epoch") == e) for e in epochs}
+    # replay() degrades group_size to sequential when a per-epoch gate is
+    # configured (audit / novelty / cow) — safe to pass through as-is
+    all_stats = engine.replay(
+        slices, audit=audit, group_size=max(1, args.group_size)
+    )
+    for st in all_stats:
         out = {
             "epoch": st.epoch,
             "skipped": st.skipped,
@@ -857,6 +859,18 @@ def build_parser() -> argparse.ArgumentParser:
         dest="max_delete_fraction",
         help="with --audit: reject an epoch that is more than this "
         "fraction tombstones (delete-storm guard; -1 = off)",
+    )
+    a.add_argument(
+        "--group-size",
+        type=int,
+        default=1,
+        dest="group_size",
+        help="commit coalescing for backlog catch-up: apply up to N "
+        "pending epochs per shuffle, committed atomically in ONE "
+        "snapshot (per-epoch lineage/quarantine attribution preserved; "
+        "time travel inside a group resolves to group boundaries). "
+        "Ignored — replay stays sequential — when --audit, --novelty, "
+        "or --merge-mode cow is set, since those gates are per-epoch",
     )
     a.add_argument("--pandas-lww", action="store_true")
     a.add_argument(

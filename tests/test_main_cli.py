@@ -159,6 +159,41 @@ def test_generate_apply_reconcile_roundtrip(spark, tmp_path):
     assert rc2 == 0
 
 
+def test_apply_cli_group_size(spark, tmp_path):
+    """apply --group-size: the grouped replay reconciles against the same
+    closed-form oracle as the sequential one, and a sequential resume on
+    top of the grouped table is a pure no-op (the group's epochs are all
+    recorded in the lake's epoch line)."""
+    from data_migration_validation_spark.sources.binlog import (
+        BinlogConfig,
+        expected_final_state,
+    )
+
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    exp = str(tmp_path / "expected")
+
+    assert _run(["generate", "--out", log, "--keys", "400", "--events-per-epoch", "400"]) == 0
+    cfg = BinlogConfig(n_keys=400, max_versions=4, events_per_epoch=400, seed=42)
+    expected_final_state(spark, cfg, log=spark.read.parquet(log)).select(
+        "url", "warc_ts", "seq", "html", "lang", "fetch_status"
+    ).write.mode("overwrite").parquet(exp)
+
+    assert _run(
+        ["apply", "--log", log, "--table", table, "--checkpoint", ckpt,
+         "--buckets", "8", "--group-size", "2"]
+    ) == 0
+    assert _run(
+        ["reconcile", "--table", table, "--checkpoint", ckpt, "--expected", exp, "--key", "url"]
+    ) == 0
+    # sequential re-apply: every epoch skips against the grouped commits
+    assert _run(["apply", "--log", log, "--table", table, "--checkpoint", ckpt]) == 0
+    assert _run(
+        ["reconcile", "--table", table, "--checkpoint", ckpt, "--expected", exp, "--key", "url"]
+    ) == 0
+
+
 def test_expire_cli(spark, tmp_path):
     """generate → apply → expire: old snapshots removed, table still reads."""
     from data_migration_validation_spark.plans.lake import LakeTable
