@@ -246,15 +246,18 @@ def test_origin_fold_carries_and_condenses(tmp_path):
     is never mutated (manifests are immutable snapshots)."""
     from data_migration_validation_spark.plans.lake import _fold_origin
 
-    assert _fold_origin(None, 0, {"applied_events": 3}) == {}
-    assert _fold_origin(None, 7, {"origin": "redrive"}) == {"redrive": [[7, 7]]}
+    assert _fold_origin(None, [0], {"applied_events": 3}) == {}
+    assert _fold_origin(None, [7], {"origin": "redrive"}) == {"redrive": [[7, 7]]}
     prev = {"redrive": [[7, 7]]}
-    out = _fold_origin(prev, 8, {"origin": "redrive"})
+    out = _fold_origin(prev, [8], {"origin": "redrive"})
     assert out == {"redrive": [[7, 8]]}
     assert prev == {"redrive": [[7, 7]]}  # no aliasing back into prev
-    # untagged and maintenance commits carry forward verbatim
-    assert _fold_origin(prev, 9, {"applied_events": 1}) == prev
-    assert _fold_origin(prev, None, {"origin": "redrive"}) == prev
+    # untagged and maintenance (empty epoch list) commits carry verbatim
+    assert _fold_origin(prev, [9], {"applied_events": 1}) == prev
+    assert _fold_origin(prev, [], {"origin": "redrive"}) == prev
     # a second origin gets its own ranges
-    two = _fold_origin(prev, 100, {"origin": "backfill"})
+    two = _fold_origin(prev, [100], {"origin": "backfill"})
     assert two == {"redrive": [[7, 7]], "backfill": [[100, 100]]}
+    # a GROUP commit folds all of its epochs into one condensed run
+    grp = _fold_origin(prev, [8, 9, 10], {"origin": "redrive"})
+    assert grp == {"redrive": [[7, 10]]}
