@@ -254,6 +254,101 @@ def test_group_guards_and_fallbacks(spark, binlog, tmp_path):
     assert len(epoch_commits) == 2
 
 
+@pytest.mark.parametrize("store_kind", ["posix", "condput"])
+def test_grouped_replayer_races_sequential_replayer(spark, binlog, tmp_path, store_kind):
+    """A grouped replayer (group_size=3) and a sequential replayer race
+    over the SAME log into the SAME table: every epoch lands exactly once
+    and the final state matches the sequential model. The grouped writer
+    may lose a mid-group race (a subset of its group gets committed under
+    it) — the documented recovery is to re-call and re-plan without the
+    overlapped epochs, which this test exercises for real."""
+    import threading
+
+    from data_migration_validation_spark.plans.commit_store import (
+        ConditionalPutCommitStore,
+        LocalBlobApi,
+    )
+    from data_migration_validation_spark.plans.lake import LakeTable
+
+    table = str(tmp_path / "t")
+
+    def _store():
+        if store_kind == "posix":
+            return None
+        return ConditionalPutCommitStore(LocalBlobApi(table + "/_meta_blob"))
+
+    slices = _slices(binlog, CFG)
+
+    def sequential(errs):
+        try:
+            eng = CDCApplyEngine(
+                spark,
+                table_path=table,
+                checkpoint_path=str(tmp_path / "ck-seq"),
+                num_buckets=8,
+                store=_store(),
+            )
+            for e in sorted(slices):
+                eng.apply_epoch(slices[e], e)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    def grouped(errs):
+        try:
+            eng = CDCApplyEngine(
+                spark,
+                table_path=table,
+                checkpoint_path=str(tmp_path / "ck-grp"),
+                num_buckets=8,
+                store=_store(),
+            )
+            for _ in range(30):
+                try:
+                    eng.replay(slices, group_size=3)
+                    return
+                except RuntimeError as ex:
+                    if "re-plan" not in str(ex):
+                        raise
+                except ValueError as ex:
+                    if "already applied" not in str(ex):
+                        raise
+            raise RuntimeError("grouped replayer did not converge in 30 attempts")
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    errs: list[BaseException] = []
+    ts = [
+        threading.Thread(target=sequential, args=(errs,)),
+        threading.Thread(target=grouped, args=(errs,)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in ts), "replayer still running"
+    assert not errs, f"replayer failed: {errs[:1]}"
+
+    lake = LakeTable(table, store=_store())
+    assert sorted(lake.current_snapshot().epochs) == list(range(CFG.n_epochs))
+    # no commit dropped from the history
+    vs = lake.versions()
+    for prev, cur in zip(vs, vs[1:]):
+        assert lake._manifest_raw(cur).get("parent") == prev
+
+    seq = _engine(spark, str(tmp_path / "model"))
+    seq.replay(slices)
+    check = CDCApplyEngine(
+        spark,
+        table_path=table,
+        checkpoint_path=str(tmp_path / "ck-check"),
+        store=_store(),
+    )
+    a = seq.read_final()
+    b = check.read_final()
+    diff = cogroup_reconcile(a, b, key="url")
+    assert reconciliation_report(diff) == {}
+
+
 def test_group_asof_and_summary_granularity(spark, binlog, tmp_path):
     slices = _slices(binlog, CFG)
     grp = _engine(spark, str(tmp_path / "t"), compact_every=0)
