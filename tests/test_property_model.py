@@ -196,6 +196,81 @@ def test_engine_matches_lww_model(spark, stream, n_epochs, cfg, crash, rebucket_
 
 
 # --------------------------------------------------------------------------
+# Group-commit property: the grouped replay (k epochs per shuffle, one
+# atomic snapshot per group) against the SAME in-memory LWW model — the
+# sequential path's contract must survive commit coalescing over the
+# whole input space, including malformed-envelope quarantining and
+# idempotent grouped re-runs.
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    stream=stream_st,
+    n_epochs=st.integers(min_value=1, max_value=4),
+    group_size=st.integers(min_value=2, max_value=4),
+    use_pandas_lww=st.booleans(),
+    num_buckets=st.sampled_from([1, 4]),
+)
+def test_grouped_replay_matches_lww_model(
+    spark, stream, n_epochs, group_size, use_pandas_lww, num_buckets
+):
+    rows = _rows(stream, n_epochs)
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    tmp = tempfile.mkdtemp(prefix="prop-group-")
+    try:
+        engine = CDCApplyEngine(
+            spark,
+            table_path=f"{tmp}/table",
+            checkpoint_path=f"{tmp}/ckpt",
+            merge_mode="mor",
+            use_pandas_lww=use_pandas_lww,
+            num_buckets=num_buckets,
+        )
+        slices = {e: events.where(f"batch_epoch = {e}") for e in range(n_epochs)}
+        engine.replay(slices, group_size=group_size)
+
+        # per-epoch quarantine attribution is identical to the sequential
+        # contract: each malformed event exactly once, with its reason
+        expected_q = set()
+        for op, url, ts, seq, *_ in rows:
+            if url is None:
+                expected_q.add((seq, "null_key"))
+            elif ts is None:
+                expected_q.add((seq, "null_warc_ts"))
+            elif op not in ("I", "U", "D"):
+                expected_q.add((seq, "bad_op"))
+        q = engine.read_quarantine()
+        got_q = (
+            set()
+            if q is None
+            else {(r["seq"], r["_reason"]) for r in q.select("seq", "_reason").collect()}
+        )
+        assert got_q == expected_q
+
+        final = engine.read_final()
+        got = (
+            set()
+            if final is None
+            else {
+                (r["url"], r["warc_ts"], r["seq"], bytes(r["html"]) if r["html"] is not None else None, r["lang"], r["text"])
+                for r in final.select("url", "warc_ts", "seq", "html", "lang", "text").collect()
+            }
+        )
+        assert got == _model_final(rows)
+
+        # grouped re-run of the whole log: pure metadata no-op
+        again = engine.replay(slices, group_size=group_size)
+        assert all(s.skipped for s in again)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # Novelty-filter property: engine with novelty_filter="exact" vs a
 # sequential seen-set model.
 # --------------------------------------------------------------------------
