@@ -116,11 +116,16 @@ def worker(log_path: str, cpus: int, n_keys: int) -> None:
         events = log.count()
 
         # -- warmup: JIT, Python worker pool, FS cache (untimed) -------------
-        # Workload knobs (BENCH.md discusses all three):
+        # Workload knobs (BENCH.md discusses all of these):
         #   SPARK_GRAFT_SCALE_MODE=mor|cow   engine merge mode (default mor)
         #   SPARK_GRAFT_SCALE_ENRICH=1       add ingest-time text analysis
-        # The default (mor, no enrich) matches bench.py and the production
-        # default; cow reproduces the round-1 job shape for continuity.
+        #   SPARK_GRAFT_SCALE_GROUP=k        replay via the group-commit
+        #                                    path, k epochs per atomic
+        #                                    snapshot (default 1 =
+        #                                    sequential, the recorded
+        #                                    north-rule shape)
+        # The default (mor, no enrich, sequential) matches bench.py and
+        # the production default; cow reproduces the round-1 job shape.
         kw = dict(
             num_buckets=NUM_BUCKETS,
             in_batch_prededup=True,
@@ -138,9 +143,19 @@ def worker(log_path: str, cpus: int, n_keys: int) -> None:
         engine = CDCApplyEngine(
             spark, table_path=f"{tmp}/table", checkpoint_path=f"{tmp}/ckpt", **kw
         )
+        group = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_GROUP", "1")))
         t0 = time.monotonic()
-        for epoch in range(cfg.n_epochs):
-            engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
+        if group > 1:
+            engine.replay(
+                {
+                    e: log.where(F.col("batch_epoch") == e)
+                    for e in range(cfg.n_epochs)
+                },
+                group_size=group,
+            )
+        else:
+            for epoch in range(cfg.n_epochs):
+                engine.apply_epoch(log.where(F.col("batch_epoch") == epoch), epoch)
         secs = time.monotonic() - t0
         final_rows = engine.read_final().count()
         print(
