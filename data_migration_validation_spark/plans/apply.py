@@ -1677,7 +1677,16 @@ class CDCApplyEngine:
         rows; unchanged keys explode into zero).
 
         ``from_epoch=None`` (or a from-point before the first commit)
-        diffs against the empty table — every live row is an insert."""
+        diffs against the empty table — every live row is an insert.
+
+        Group commits coarsen the epoch line: a ``from_epoch``/
+        ``to_epoch`` INSIDE a grouped range has no snapshot of its own,
+        so ``to_epoch`` resolves to None (no feed) and ``from_epoch``
+        falls back to the previous resolvable point — the diff is then
+        a correct superset of the requested changes, never a partial
+        one. Consumers that need exact per-epoch feeds should read from
+        tables replayed with ``group_size=1`` (the default), or align
+        their from/to points to group boundaries."""
         cur = self.lake.current_version()
         if cur is None:
             return None

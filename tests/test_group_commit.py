@@ -374,3 +374,11 @@ def test_group_asof_and_summary_granularity(spark, binlog, tmp_path):
     b = grp.read_asof(2)
     diff = cogroup_reconcile(a, b, key="url")
     assert reconciliation_report(diff) == {}
+
+    # CDF across the coarsened epoch line: a from-point INSIDE a group
+    # falls back to the previous resolvable boundary — the feed is a
+    # superset of the request (here: everything since the [0,1,2]
+    # boundary, even though epoch 4 sits mid-[3,4,5])
+    feed_boundary = grp.read_changes(from_epoch=2)
+    feed_mid = grp.read_changes(from_epoch=4)
+    assert feed_mid.count() == feed_boundary.count()
