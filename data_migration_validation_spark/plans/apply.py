@@ -856,6 +856,7 @@ class CDCApplyEngine:
         self,
         slices: dict[int, DataFrame],
         commit_summary: dict | None = None,
+        crash_after_commit: bool = False,
     ) -> list[ApplyStats]:
         """Apply SEVERAL pending epochs in ONE shuffle and ONE atomic
         snapshot commit — commit coalescing, the backlog-catch-up shape.
@@ -1173,6 +1174,12 @@ class CDCApplyEngine:
             # group" — converged iff the same KIND of writer did
             for e in group:
                 self._check_skip_origin(e, commit_summary)
+        if crash_after_commit:
+            # test hook, same contract as apply_epoch's: the group is
+            # committed (atomically, all k epochs) but NOT checkpointed —
+            # a crash-replay must hit the lake's idempotency guard and
+            # skip the whole group, never double-apply it
+            raise RuntimeError("injected crash between commit and checkpoint")
         self.ckpt.write_epoch(group[-1])
 
         if (

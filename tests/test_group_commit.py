@@ -152,6 +152,34 @@ def test_group_idempotent_rerun_and_partial_overlap(spark, binlog, tmp_path):
     _assert_tables_equal(seq, grp, "after overlap + rerun + grouped tail")
 
 
+def test_group_crash_between_commit_and_checkpoint(spark, binlog, tmp_path):
+    """The group commit is atomic and the LAKE is truth: a crash after
+    the snapshot lands but before the checkpoint advances must leave a
+    re-run that skips the whole group (all k epochs), never double-
+    applies it — the same exactly-once contract apply_epoch carries."""
+    grp = _engine(spark, str(tmp_path / "t"))
+    slices = _slices(binlog, CFG)
+    chunk = {e: slices[e] for e in (0, 1, 2)}
+    with pytest.raises(RuntimeError, match="injected crash"):
+        grp.apply_epoch_group(chunk, crash_after_commit=True)
+    # the commit landed atomically (all three epochs), checkpoint did not
+    assert grp.lake.epochs_applied() == {0, 1, 2}
+    assert grp.ckpt.last_epoch() is None
+    before = grp.lake.versions()
+    stats = grp.apply_epoch_group(chunk)
+    assert all(s.skipped for s in stats)
+    assert grp.lake.versions() == before
+    # the fast idempotency-guard path does NOT advance the checkpoint —
+    # same as apply_epoch's: the LAKE is truth, the checkpoint is a
+    # resume hint (re-offered epochs no-op against the lake guard)
+    assert grp.ckpt.last_epoch() is None
+    # and the state is exactly the sequential replay's
+    seq = _engine(spark, str(tmp_path / "seq"))
+    for e in (0, 1, 2):
+        seq.apply_epoch(slices[e], e)
+    _assert_tables_equal(seq, grp, "crash-replayed group")
+
+
 def test_lake_commit_partial_overlap_raises(spark, binlog, tmp_path):
     grp = _engine(spark, str(tmp_path / "t"))
     slices = _slices(binlog, CFG)
