@@ -23,9 +23,10 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: derive a CDC change stream from sf0.001 documents, replay
     it through the apply engine (epoch-keyed commits, LWW merge, Arrow
     text extraction), return the final materialized state."""
-    # the plain replay, not the registry's twin-checked slot (which runs
-    # the audited replay too — the driver's queries() gate covers that;
-    # the smoke check only needs the flagship once)
+    # the plain replay, not the registry's twin-checked slot (which also
+    # runs the audited and group-commit replays, cross-asserted — the
+    # driver's queries() gate covers those; the smoke check only needs
+    # the flagship once)
     from data_migration_validation_spark.queries import cdc_final_state
 
     return cdc_final_state(spark, "/root/testdata/sf0.001")
